@@ -1,0 +1,96 @@
+"""Benchmark: IC-GAN BigGAN 256² sampling throughput per chip.
+
+Prints one JSON line:
+  {"metric": "...", "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+Baseline (see BASELINE.md): the north-star metric is sampled images/sec/chip
+at 256² for the IC-GAN BigGAN generator vs the reference PyTorch stack on
+A100.  The reference repo publishes no sampling-rate number, so the baseline
+is derived from the model's measured FLOP count at a PyTorch-eager-typical
+35% utilization of an A100's 312 TFLOP/s fp16 peak:
+
+    baseline_img_per_s = 312e12 * 0.35 / flops_per_image
+
+FLOPs per image are taken from XLA's own cost analysis of the compiled
+generator, so the baseline scales consistently with the actual graph.
+``vs_baseline`` > 1.0 means faster than the estimated A100 PyTorch rate;
+the north-star target is ≥ 5.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+A100_FP16_PEAK = 312e12
+PYTORCH_EAGER_UTILIZATION = 0.35
+
+
+def main():
+    from ic_gan_tpu.models.biggan import BigGANConfig, Generator
+    from __graft_entry__ import _fast_variables
+
+    cfg = BigGANConfig(resolution=256, G_ch=96, G_attn="64", dtype=jnp.bfloat16)
+    g = Generator(cfg)
+    batch = 32
+    rng = jax.random.PRNGKey(0)
+    z = jax.random.normal(rng, (batch, cfg.effective_dim_z))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.instance_sz))
+    variables = _fast_variables(g, z[:1], None, feats[:1], train=False)
+
+    def sample(v, z, f):
+        imgs = g.apply(v, z, None, f, train=False)
+        # Tiny checksum output: fetching it to host forces execution to
+        # complete (block_until_ready is unreliable on the remote-relay
+        # backend) without paying a 25 MB image transfer per iteration.
+        return imgs, jnp.sum(imgs[:, ::64, ::64, :])
+
+    fwd = jax.jit(sample)
+    lowered = fwd.lower(variables, z, feats)
+    compiled = lowered.compile()
+    try:
+        flops_total = compiled.cost_analysis()["flops"]
+    except Exception:
+        flops_total = None
+
+    # Warm up (compile) then measure steady state.  Iterations are chained
+    # (each consumes the previous checksum) so the device can't overlap them,
+    # and a single host fetch at the end forces completion of the chain —
+    # avoiding a relay round-trip inside the timed region.
+    _, chk = fwd(variables, z, feats)
+    float(chk)
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        _, chk = fwd(variables, z + 0.0 * chk, feats)
+    float(chk)
+    dt = time.perf_counter() - t0
+    rate = batch * n_iters / dt
+
+    if flops_total:
+        flops_per_img = flops_total / batch
+        baseline = A100_FP16_PEAK * PYTORCH_EAGER_UTILIZATION / flops_per_img
+    else:
+        # Fallback analytic estimate: BigGAN G 256² ch96 ≈ 80 GFLOP/img.
+        baseline = A100_FP16_PEAK * PYTORCH_EAGER_UTILIZATION / 80e9
+
+    print(
+        json.dumps(
+            {
+                "metric": "icgan_biggan_res256_sampling",
+                "value": round(rate, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(rate / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""FID / Inception Score / feature-moment computation — on-device.
+
+Reference: ``data_utils/inception_utils.py:42-479`` (torch FID with
+Newton-Schulz matrix sqrt, IS, activation accumulation, stratified FID).
+
+TPU-first: moment accumulation is a running (sum, outer-product sum) pair —
+streamable over sharded batches with a single psum at the end — and the
+matrix sqrt uses Newton-Schulz iterations (pure 2048³ matmuls on the MXU;
+the reference uses the same trick on GPU, ``inception_utils.py:144-186``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FeatureMoments:
+    """Streaming mean/covariance accumulator (host-side driver, device math).
+
+    Equivalent of the reference's activation accumulation + ``np.mean/cov``
+    (``inception_utils.py:289-341``) and StyleGAN2's ``FeatureStats``
+    (``metrics/metric_utils.py``).
+    """
+
+    def __init__(self, dim: int):
+        self.n = 0
+        self.sum = np.zeros((dim,), np.float64)
+        self.outer = np.zeros((dim, dim), np.float64)
+
+    def update(self, feats) -> None:
+        f = np.asarray(feats, np.float64)
+        self.n += f.shape[0]
+        self.sum += f.sum(axis=0)
+        self.outer += f.T @ f
+
+    @property
+    def mean(self) -> np.ndarray:
+        return self.sum / self.n
+
+    @property
+    def cov(self) -> np.ndarray:
+        mu = self.mean
+        # Unbiased covariance (np.cov default, as used by the reference).
+        return (self.outer - self.n * np.outer(mu, mu)) / (self.n - 1)
+
+    def save(self, path: str) -> None:
+        np.savez(path, mu=self.mean, sigma=self.cov)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def sqrtm_newton_schulz(mat: jax.Array, num_iters: int = 50) -> jax.Array:
+    """Matrix square root via Newton-Schulz (ref ``inception_utils.py:144-186``)
+    — matmul-only, MXU-friendly, float32."""
+    dim = mat.shape[0]
+    norm = jnp.sqrt(jnp.sum(mat * mat))
+    y = mat / norm
+    eye = jnp.eye(dim, dtype=mat.dtype)
+    z = eye
+
+    def body(_, yz):
+        y, z = yz
+        t = 0.5 * (3.0 * eye - z @ y)
+        return (y @ t, t @ z)
+
+    y, z = jax.lax.fori_loop(0, num_iters, body, (y, z))
+    return y * jnp.sqrt(norm)
+
+
+def frechet_distance(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray,
+    num_iters: int = 50,
+) -> float:
+    """FID between two Gaussians (ref ``torch_calculate_frechet_distance``,
+    ``inception_utils.py:189-232``)."""
+    mu1 = jnp.asarray(mu1, jnp.float32)
+    mu2 = jnp.asarray(mu2, jnp.float32)
+    s1 = jnp.asarray(sigma1, jnp.float32)
+    s2 = jnp.asarray(sigma2, jnp.float32)
+    diff = mu1 - mu2
+    covmean = sqrtm_newton_schulz(s1 @ s2, num_iters)
+    out = (
+        jnp.dot(diff, diff)
+        + jnp.trace(s1)
+        + jnp.trace(s2)
+        - 2.0 * jnp.trace(covmean)
+    )
+    return float(out)
+
+
+def inception_score(
+    logits_or_probs: np.ndarray, num_splits: int = 10, from_logits: bool = True
+) -> Tuple[float, float]:
+    """IS = exp(E_x KL(p(y|x) ‖ p(y))) over ``num_splits`` chunks (ref
+    ``calculate_inception_score``, ``inception_utils.py:269-283``)."""
+    x = np.asarray(logits_or_probs, np.float64)
+    if from_logits:
+        x = x - x.max(axis=1, keepdims=True)
+        e = np.exp(x)
+        probs = e / e.sum(axis=1, keepdims=True)
+    else:
+        probs = x
+    scores = []
+    n = probs.shape[0]
+    for i in range(num_splits):
+        part = probs[i * n // num_splits : (i + 1) * n // num_splits]
+        py = part.mean(axis=0, keepdims=True)
+        kl = np.sum(part * (np.log(part + 1e-10) - np.log(py + 1e-10)), axis=1)
+        scores.append(np.exp(kl.mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def compute_fid_from_moments(
+    fake: FeatureMoments, ref_mu: np.ndarray, ref_sigma: np.ndarray
+) -> float:
+    return frechet_distance(fake.mean, fake.cov, ref_mu, ref_sigma)

@@ -1,0 +1,408 @@
+"""BigGAN layer library in Flax (NHWC, TPU-native).
+
+Functional re-design of ``BigGAN_PyTorch/layers.py``:
+
+- Spectral norm keeps its power-iteration state ``u`` in an explicit ``"sn"``
+  variable collection (the reference mutates registered buffers during forward,
+  ``layers.py:103-111``); singular values are stored alongside for logging.
+- Batch norm is *globally correct* under pjit: batch moments are computed with
+  plain ``jnp.mean`` over the (logically global) batch, so when the batch axis
+  is sharded over the mesh XLA inserts the cross-replica psum automatically —
+  this supersedes the reference's SyncBN machinery
+  (``sync_batchnorm/batchnorm.py``), which is silently disabled under DDP
+  (``layers.py:387-391``).
+- All convs are ``lax.conv_general_dilated`` NHWC/HWIO — the MXU path.
+
+Layouts: linear kernels ``(in, out)``, conv kernels ``(kh, kw, in, out)``,
+embeddings ``(num, dim)``.  The checkpoint converter transposes from torch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ic_gan_tpu.ops.spectral_norm import spectral_normalize
+from ic_gan_tpu.ops.resample import (
+    upsample_nearest_2x,
+    avg_pool_2x,
+    max_pool_2x,
+)
+
+Dtype = Any
+
+# Default epsilons (reference argparse defaults: BN_eps=1e-5, SN_eps=1e-6,
+# BigGAN_PyTorch/utils.py).
+SN_EPS = 1e-6
+BN_EPS = 1e-5
+
+
+def orthogonal_init(scale: float = 1.0):
+    """Orthogonal init over the (fan_in, out) matricization — the reference
+    initializes conv/linear/embedding weights with ``init.orthogonal_``
+    (``BigGAN.py:327-345``)."""
+    return nn.initializers.orthogonal(scale, column_axis=-1)
+
+
+class SNDense(nn.Module):
+    """Linear layer with spectral normalization (ref ``layers.py:157-165``)."""
+
+    features: int
+    use_bias: bool = True
+    num_svs: int = 1
+    num_itrs: int = 1
+    eps: float = SN_EPS
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_sn: bool = False):
+        kernel = self.param(
+            "kernel", orthogonal_init(), (x.shape[-1], self.features), jnp.float32
+        )
+        u = self.variable(
+            "sn",
+            "u",
+            lambda key, shape: jax.random.normal(key, shape),
+            self.make_rng("params") if self.is_initializing() else None,
+            (self.num_svs, self.features),
+        )
+        sv = self.variable("sn", "sv", lambda _, s: jnp.ones(s), None, (self.num_svs,))
+        w_bar, new_u, svs = spectral_normalize(
+            kernel, u.value, update=update_sn, num_itrs=self.num_itrs, eps=self.eps
+        )
+        if update_sn and not self.is_initializing():
+            u.value = new_u
+            sv.value = svs
+        y = jnp.dot(x.astype(self.dtype), w_bar.astype(self.dtype))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class SNConv(nn.Module):
+    """3x3/1x1 conv with spectral normalization (ref ``layers.py:116-153``)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    num_svs: int = 1
+    num_itrs: int = 1
+    eps: float = SN_EPS
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_sn: bool = False):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            orthogonal_init(),
+            (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        u = self.variable(
+            "sn",
+            "u",
+            lambda key, shape: jax.random.normal(key, shape),
+            self.make_rng("params") if self.is_initializing() else None,
+            (self.num_svs, self.features),
+        )
+        sv = self.variable("sn", "sv", lambda _, s: jnp.ones(s), None, (self.num_svs,))
+        w_bar, new_u, svs = spectral_normalize(
+            kernel, u.value, update=update_sn, num_itrs=self.num_itrs, eps=self.eps
+        )
+        if update_sn and not self.is_initializing():
+            u.value = new_u
+            sv.value = svs
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w_bar.astype(self.dtype),
+            window_strides=self.strides,
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class SNEmbed(nn.Module):
+    """Embedding with spectral normalization over the (num_embeddings, dim)
+    matrix (ref ``layers.py:171-200`` — note ``num_outputs=num_embeddings``)."""
+
+    num_embeddings: int
+    features: int
+    num_svs: int = 1
+    num_itrs: int = 1
+    eps: float = SN_EPS
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, idx, update_sn: bool = False):
+        table = self.param(
+            "embedding",
+            orthogonal_init(),
+            (self.num_embeddings, self.features),
+            jnp.float32,
+        )
+        u = self.variable(
+            "sn",
+            "u",
+            lambda key, shape: jax.random.normal(key, shape),
+            self.make_rng("params") if self.is_initializing() else None,
+            (self.num_svs, self.num_embeddings),
+        )
+        sv = self.variable("sn", "sv", lambda _, s: jnp.ones(s), None, (self.num_svs,))
+        w_bar, new_u, svs = spectral_normalize(
+            table,
+            u.value,
+            update=update_sn,
+            num_itrs=self.num_itrs,
+            eps=self.eps,
+            transpose=True,
+        )
+        if update_sn and not self.is_initializing():
+            u.value = new_u
+            sv.value = svs
+        return jnp.take(w_bar.astype(self.dtype), idx, axis=0)
+
+
+class CrossReplicaBatchNorm(nn.Module):
+    """Batch norm with torch ``F.batch_norm`` semantics and global-batch
+    (cross-replica) moments under pjit.
+
+    Training: normalize with batch moments (biased var), update running stats
+    with momentum 0.1 and *unbiased* var (torch behaviour).  Eval: normalize
+    with stored stats.  ``standing`` mode accumulates raw sums for BigGAN's
+    standing statistics (ref ``layers.py:287-336``, ``utils.py:1679-1695``).
+
+    Stats are computed in float32 regardless of compute dtype (ref
+    ``manual_bn``, ``layers.py:266-283``).
+    """
+
+    features: int
+    eps: float = BN_EPS
+    momentum: float = 0.1
+    axis_name: Optional[str] = None  # set when used inside shard_map/pmap
+
+    @nn.compact
+    def __call__(self, x, train: bool, standing: bool = False):
+        stored_mean = self.variable(
+            "batch_stats", "mean", lambda _, s: jnp.zeros(s), None, (self.features,)
+        )
+        stored_var = self.variable(
+            "batch_stats", "var", lambda _, s: jnp.ones(s), None, (self.features,)
+        )
+        counter = self.variable(
+            "batch_stats", "accum_counter", lambda _, s: jnp.zeros(s), None, (1,)
+        )
+
+        if train or standing:
+            xf = x.astype(jnp.float32)
+            m = jnp.mean(xf, axis=(0, 1, 2))
+            m2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            if self.axis_name is not None:
+                m = jax.lax.pmean(m, self.axis_name)
+                m2 = jax.lax.pmean(m2, self.axis_name)
+            var = m2 - jnp.square(m)
+            if not self.is_initializing():
+                if standing:
+                    stored_mean.value = stored_mean.value + m
+                    stored_var.value = stored_var.value + var
+                    counter.value = counter.value + 1.0
+                else:
+                    n = x.shape[0] * x.shape[1] * x.shape[2]
+                    if self.axis_name is not None:
+                        n = n * jax.lax.psum(1, self.axis_name)
+                    unbiased = var * (n / max(n - 1, 1))
+                    stored_mean.value = (
+                        (1 - self.momentum) * stored_mean.value + self.momentum * m
+                    )
+                    stored_var.value = (
+                        (1 - self.momentum) * stored_var.value + self.momentum * unbiased
+                    )
+            mean, v = m, var
+        else:
+            cnt = jnp.maximum(counter.value[0], 1.0)
+            use_standing = counter.value[0] > 0
+            mean = jnp.where(use_standing, stored_mean.value / cnt, stored_mean.value)
+            v = jnp.where(use_standing, stored_var.value / cnt, stored_var.value)
+
+        inv = jax.lax.rsqrt(v + self.eps)
+        y = (x.astype(jnp.float32) - mean) * inv
+        return y.astype(x.dtype)
+
+
+class ConditionalBatchNorm(nn.Module):
+    """Class/instance-conditional BN: per-sample gain ``1 + Linear(y)`` and
+    bias ``Linear(y)`` applied after parameter-free BN (ref ``ccbn``,
+    ``layers.py:359-437``).  The gain/bias projections are spectrally
+    normalized, bias-free linears (``BigGAN.py:205-209``)."""
+
+    features: int
+    eps: float = BN_EPS
+    momentum: float = 0.1
+    sn_eps: float = SN_EPS
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, train: bool, standing: bool = False):
+        gain = 1.0 + SNDense(
+            self.features, use_bias=False, eps=self.sn_eps, dtype=self.dtype, name="gain"
+        )(y, update_sn=train)
+        bias = SNDense(
+            self.features, use_bias=False, eps=self.sn_eps, dtype=self.dtype, name="bias"
+        )(y, update_sn=train)
+        out = CrossReplicaBatchNorm(
+            self.features,
+            eps=self.eps,
+            momentum=self.momentum,
+            axis_name=self.axis_name,
+            name="bn",
+        )(x, train=train, standing=standing)
+        return out * gain[:, None, None, :] + bias[:, None, None, :]
+
+
+class ScaledBatchNorm(nn.Module):
+    """Unconditional BN with learnable gain/bias (ref ``bn``,
+    ``layers.py:446-503``) — used by G's output layer."""
+
+    features: int
+    eps: float = BN_EPS
+    momentum: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool, standing: bool = False):
+        gain = self.param("gain", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        out = CrossReplicaBatchNorm(
+            self.features,
+            eps=self.eps,
+            momentum=self.momentum,
+            axis_name=self.axis_name,
+            name="bn",
+        )(x, train=train, standing=standing)
+        return out * gain + bias
+
+
+class SelfAttention(nn.Module):
+    """SA-GAN non-local block (ref ``Attention``, ``layers.py:206-244``).
+
+    θ/φ/g/o are 1x1 spectrally-normalized convs; φ and g are 2x2 max-pooled.
+    The two batched matmuls map straight onto the MXU via einsum.
+    """
+
+    features: int
+    sn_eps: float = SN_EPS
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_sn: bool = False):
+        ch = self.features
+        N, H, W, C = x.shape
+        conv = lambda f, name: SNConv(
+            f, kernel_size=(1, 1), use_bias=False, eps=self.sn_eps, dtype=self.dtype,
+            name=name,
+        )
+        theta = conv(ch // 8, "theta")(x, update_sn)
+        phi = max_pool_2x(conv(ch // 8, "phi")(x, update_sn))
+        g = max_pool_2x(conv(ch // 2, "g")(x, update_sn))
+
+        theta = theta.reshape(N, H * W, ch // 8)
+        phi = phi.reshape(N, H * W // 4, ch // 8)
+        g = g.reshape(N, H * W // 4, ch // 2)
+
+        logits = jnp.einsum(
+            "nqc,nkc->nqk", theta, phi, preferred_element_type=jnp.float32
+        )
+        beta = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        o = jnp.einsum("nqk,nkc->nqc", beta, g, preferred_element_type=jnp.float32)
+        o = o.astype(self.dtype).reshape(N, H, W, ch // 2)
+        o = conv(ch, "o")(o, update_sn)
+        gamma = self.param("gamma", nn.initializers.zeros, (), jnp.float32)
+        return gamma * o + x
+
+
+class GBlock(nn.Module):
+    """Generator residual block (ref ``layers.py:512-552``):
+    BN→ReLU→(up)→conv3x3→BN→ReLU→conv3x3 + (up→conv1x1) shortcut."""
+
+    in_features: int
+    out_features: int
+    upsample: bool = True
+    sn_eps: float = SN_EPS
+    bn_eps: float = BN_EPS
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, train: bool, standing: bool = False):
+        cbn = lambda f, name: ConditionalBatchNorm(
+            f, eps=self.bn_eps, sn_eps=self.sn_eps, axis_name=self.axis_name,
+            dtype=self.dtype, name=name,
+        )
+        conv = lambda f, k, name: SNConv(
+            f, kernel_size=(k, k), eps=self.sn_eps, dtype=self.dtype, name=name
+        )
+        h = jax.nn.relu(cbn(self.in_features, "bn1")(x, y, train, standing))
+        if self.upsample:
+            h = upsample_nearest_2x(h)
+            x = upsample_nearest_2x(x)
+        h = conv(self.out_features, 3, "conv1")(h, update_sn=train)
+        h = jax.nn.relu(cbn(self.out_features, "bn2")(h, y, train, standing))
+        h = conv(self.out_features, 3, "conv2")(h, update_sn=train)
+        if self.in_features != self.out_features or self.upsample:
+            x = conv(self.out_features, 1, "conv_sc")(x, update_sn=train)
+        return h + x
+
+
+class DBlock(nn.Module):
+    """Discriminator residual block (ref ``layers.py:556-613``)."""
+
+    in_features: int
+    out_features: int
+    wide: bool = True
+    preactivation: bool = True
+    downsample: bool = False
+    sn_eps: float = SN_EPS
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_sn: bool = False):
+        hidden = self.out_features if self.wide else self.in_features
+        conv = lambda f, k, name: SNConv(
+            f, kernel_size=(k, k), eps=self.sn_eps, dtype=self.dtype, name=name
+        )
+        h = jax.nn.relu(x) if self.preactivation else x
+        h = conv(hidden, 3, "conv1")(h, update_sn)
+        h = conv(self.out_features, 3, "conv2")(jax.nn.relu(h), update_sn)
+        if self.downsample:
+            h = avg_pool_2x(h)
+
+        # Shortcut: preactivation order is conv_sc→down; first block (no
+        # preactivation) is down→conv_sc (ref ``layers.py:587-598``).
+        sc = x
+        learnable_sc = self.in_features != self.out_features or self.downsample
+        if self.preactivation:
+            if learnable_sc:
+                sc = conv(self.out_features, 1, "conv_sc")(sc, update_sn)
+            if self.downsample:
+                sc = avg_pool_2x(sc)
+        else:
+            if self.downsample:
+                sc = avg_pool_2x(sc)
+            if learnable_sc:
+                sc = conv(self.out_features, 1, "conv_sc")(sc, update_sn)
+        return h + sc

@@ -1,0 +1,232 @@
+"""Resampling ops: nearest upsample, avg/max pool, and upfirdn2d.
+
+``upfirdn2d`` is the StyleGAN2 workhorse (reference CUDA kernel:
+``stylegan2_ada_pytorch/torch_utils/ops/upfirdn2d.{cu,py}``): zero-upsample by
+``up``, pad, correlate with a 2-D FIR filter, downsample by ``down``.  On TPU we
+express it as a single ``lax.conv_general_dilated`` with LHS dilation (the
+zero-upsampling), explicit padding, and window strides (the downsampling) — the
+exact op the MXU/conv hardware path is built for, so no hand-written scatter is
+needed.  XLA lowers the depthwise conv to efficient vector code; a Pallas
+variant for small separable filters lives in ``ops/pallas/upfirdn2d.py``.
+
+All image tensors are NHWC (TPU-native layout).  Gradients come for free from
+JAX's conv transpose rules and satisfy the same adjoint identity the reference
+implements manually (swap up/down, complement padding, flip filter:
+``upfirdn2d.py:325-349``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pair(x) -> tuple:
+    if isinstance(x, (tuple, list)):
+        assert len(x) == 2
+        return tuple(x)
+    return (x, x)
+
+
+def _quad(x) -> tuple:
+    if isinstance(x, (tuple, list)):
+        if len(x) == 2:
+            return (x[0], x[1], x[0], x[1])
+        assert len(x) == 4
+        return tuple(x)
+    return (x, x, x, x)
+
+
+def setup_filter(
+    f,
+    normalize: bool = True,
+    flip_filter: bool = False,
+    gain: float = 1.0,
+    separable=None,
+) -> jax.Array:
+    """Prepare a FIR filter (reference semantics: ``upfirdn2d.py:52-100``).
+
+    Returns a float32 array of shape ``(fh, fw)`` (or ``(taps,)`` if separable).
+    """
+    if f is None:
+        f = 1
+    f = jnp.asarray(f, dtype=jnp.float32)
+    assert f.ndim in (0, 1, 2)
+    if f.ndim == 0:
+        f = f[jnp.newaxis]
+    if separable is None:
+        separable = f.ndim == 1 and f.size >= 8
+    if f.ndim == 1 and not separable:
+        f = jnp.outer(f, f)
+    if normalize:
+        f = f / jnp.sum(f)
+    if flip_filter:
+        f = jnp.flip(f, axis=tuple(range(f.ndim)))
+    f = f * (gain ** (f.ndim / 2))
+    return f
+
+
+def upfirdn2d(
+    x: jax.Array,
+    f: jax.Array | None,
+    up=1,
+    down=1,
+    padding=0,
+    flip_filter: bool = False,
+    gain: float = 1.0,
+) -> jax.Array:
+    """Upsample, FIR-filter, and downsample a batch of NHWC images.
+
+    Args:
+      x: ``(N, H, W, C)``.
+      f: filter ``(fh, fw)`` or separable ``(taps,)`` or None (identity).
+      up / down: int or (y, x) integer factors.
+      padding: int, (x, y), or (x0, x1, y0, y1) — same convention as the
+        reference (``upfirdn2d.py:158-168``).
+      flip_filter: correlate (False) vs convolve (True) — reference default is
+        correlate with a pre-flipped filter, i.e. ``flip_filter=False`` here
+        means plain correlation.
+      gain: overall scaling factor.
+
+    Returns:
+      ``(N, outH, outW, C)`` with
+      ``outH = (H*upy + pady0 + pady1 - fh) // downy + 1``.
+    """
+    upy, upx = _pair(up)
+    downy, downx = _pair(down)
+    padx0, padx1, pady0, pady1 = _quad(padding)
+    if f is None:
+        f = jnp.ones((1, 1), dtype=jnp.float32)
+    separable = f.ndim == 1
+
+    N, H, W, C = x.shape
+    in_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+
+    fil = f.astype(jnp.float32)
+    if not flip_filter:
+        # lax.conv performs true convolution (flips the kernel); the reference
+        # correlates, so pre-flip to get correlation semantics.
+        fil = jnp.flip(fil, axis=tuple(range(fil.ndim)))
+
+    gain_total = gain
+
+    def depthwise(inp, ker_hw, strides, pad, lhs_dil):
+        kh, kw = ker_hw.shape
+        # Depthwise conv: feature_group_count=C, kernel HWIO = (kh, kw, 1, C).
+        ker = jnp.broadcast_to(ker_hw[:, :, None, None], (kh, kw, 1, C))
+        return jax.lax.conv_general_dilated(
+            inp,
+            ker,
+            window_strides=strides,
+            padding=pad,
+            lhs_dilation=lhs_dil,
+            rhs_dilation=(1, 1),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        )
+
+    # Negative padding must crop after dilation; conv padding supports negative
+    # values in XLA, so pass them straight through.
+    pad = ((pady0, pady1), (padx0, padx1))
+
+    if separable:
+        taps = fil.shape[0]
+        # Two 1-D passes (vertical then horizontal), mirroring the reference's
+        # separable split (upfirdn2d.py:292-319).
+        y = depthwise(
+            xf, fil[:, None], strides=(downy, 1), pad=(pad[0], (0, 0)), lhs_dil=(upy, 1)
+        )
+        y = depthwise(
+            y, fil[None, :], strides=(1, downx), pad=((0, 0), pad[1]), lhs_dil=(1, upx)
+        )
+        y = y * gain_total
+    else:
+        y = depthwise(xf, fil, strides=(downy, downx), pad=pad, lhs_dil=(upy, upx))
+        y = y * gain_total
+
+    return y.astype(in_dtype)
+
+
+def filter2d(x, f, padding=0, flip_filter=False, gain=1.0):
+    """FIR-filter without resampling, padded so output size == input size when
+    ``padding=0`` and the filter is odd (reference ``upfirdn2d.py:359-389``)."""
+    padx0, padx1, pady0, pady1 = _quad(padding)
+    fw, fh = _filter_size(f)
+    return upfirdn2d(
+        x,
+        f,
+        padding=(
+            padx0 + fw // 2,
+            padx1 + (fw - 1) // 2,
+            pady0 + fh // 2,
+            pady1 + (fh - 1) // 2,
+        ),
+        flip_filter=flip_filter,
+        gain=gain,
+    )
+
+
+def upsample2d(x, f, up=2, padding=0, flip_filter=False, gain=1.0):
+    """Filtered 2x upsample (reference ``upfirdn2d.py:392-438``)."""
+    upy, upx = _pair(up)
+    padx0, padx1, pady0, pady1 = _quad(padding)
+    fw, fh = _filter_size(f)
+    p = (
+        padx0 + (fw + upx - 1) // 2,
+        padx1 + (fw - upx) // 2,
+        pady0 + (fh + upy - 1) // 2,
+        pady1 + (fh - upy) // 2,
+    )
+    return upfirdn2d(x, f, up=up, padding=p, flip_filter=flip_filter, gain=gain * upx * upy)
+
+
+def downsample2d(x, f, down=2, padding=0, flip_filter=False, gain=1.0):
+    """Filtered 2x downsample (reference ``upfirdn2d.py:441-487``)."""
+    downy, downx = _pair(down)
+    padx0, padx1, pady0, pady1 = _quad(padding)
+    fw, fh = _filter_size(f)
+    p = (
+        padx0 + (fw - downx + 1) // 2,
+        padx1 + (fw - downx) // 2,
+        pady0 + (fh - downy + 1) // 2,
+        pady1 + (fh - downy) // 2,
+    )
+    return upfirdn2d(x, f, down=down, padding=p, flip_filter=flip_filter, gain=gain)
+
+
+def _filter_size(f):
+    if f is None:
+        return 1, 1
+    if f.ndim == 1:
+        return int(f.shape[0]), int(f.shape[0])
+    return int(f.shape[1]), int(f.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Simple resampling used by BigGAN (nearest 2x up, 2x2 avg/max pool).
+# ---------------------------------------------------------------------------
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x upsample, NHWC (BigGAN G: ``F.interpolate``)."""
+    N, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (N, H, 2, W, 2, C))
+    return x.reshape(N, H * 2, W * 2, C)
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    """2x2 average pool, stride 2, NHWC (BigGAN D: ``nn.AvgPool2d(2)``)."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) * 0.25
+
+
+def max_pool_2x(x: jax.Array) -> jax.Array:
+    """2x2 max pool, stride 2, NHWC (SA-GAN attention phi/g path)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
