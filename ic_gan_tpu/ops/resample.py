@@ -129,23 +129,28 @@ def upfirdn2d(
             feature_group_count=C,
         )
 
-    # Negative padding must crop after dilation; conv padding supports negative
-    # values in XLA, so pass them straight through.
-    pad = ((pady0, pady1), (padx0, padx1))
+    # Zero-upsampling semantics: the reference appends trailing zeros so the
+    # upsampled signal has length H·up (``_upfirdn2d_ref``), whereas XLA's
+    # lhs_dilation produces (H−1)·up+1 — compensate by adding up−1 to the
+    # trailing pad.  Negative padding (cropping) passes straight through to
+    # the conv's padding config.
+    pad_h = (pady0, pady1 + upy - 1)
+    pad_w = (padx0, padx1 + upx - 1)
 
     if separable:
-        taps = fil.shape[0]
         # Two 1-D passes (vertical then horizontal), mirroring the reference's
         # separable split (upfirdn2d.py:292-319).
         y = depthwise(
-            xf, fil[:, None], strides=(downy, 1), pad=(pad[0], (0, 0)), lhs_dil=(upy, 1)
+            xf, fil[:, None], strides=(downy, 1), pad=(pad_h, (0, 0)), lhs_dil=(upy, 1)
         )
         y = depthwise(
-            y, fil[None, :], strides=(1, downx), pad=((0, 0), pad[1]), lhs_dil=(1, upx)
+            y, fil[None, :], strides=(1, downx), pad=((0, 0), pad_w), lhs_dil=(1, upx)
         )
         y = y * gain_total
     else:
-        y = depthwise(xf, fil, strides=(downy, downx), pad=pad, lhs_dil=(upy, upx))
+        y = depthwise(
+            xf, fil, strides=(downy, downx), pad=(pad_h, pad_w), lhs_dil=(upy, upx)
+        )
         y = y * gain_total
 
     return y.astype(in_dtype)

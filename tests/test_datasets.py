@@ -1,0 +1,137 @@
+import os
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from ic_gan_tpu.data.datasets import (
+    HDF5Dataset,
+    get_dataset_hdf5,
+    hdf5_filenames,
+    kmeans_filename,
+)
+
+
+N, RES, F, K = 64, 16, 32, 5
+
+
+@pytest.fixture(scope="module")
+def hdf5_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, size=(N, 3, RES, RES), dtype=np.uint8)
+    labels = rng.randint(0, 4, size=(N,)).astype(np.int64)
+    feats = rng.randn(N, F).astype(np.float32)
+    feats_hflip = rng.randn(N, F).astype(np.float32)
+    names = hdf5_filenames(RES, "imagenet", feature_extractor="selfsupervised",
+                           backbone="resnet50", k_nn=K)
+    with h5py.File(d / names["xy"], "w") as f:
+        f.create_dataset("imgs", data=imgs)
+        f.create_dataset("labels", data=labels)
+    with h5py.File(d / names["feats"], "w") as f:
+        f.create_dataset("feats", data=feats)
+        f.create_dataset("feats_hflip", data=feats_hflip)
+    nrm = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    d2 = ((nrm[:, None] - nrm[None]) ** 2).sum(-1)
+    nns = np.argsort(d2, axis=1)[:, : K + 1]
+    radius = np.sqrt(d2[np.arange(N), nns[:, -1]])
+    with h5py.File(d / names["nns"], "w") as f:
+        f.create_dataset("sample_nns", data=nns)
+        f.create_dataset("sample_nns_radius", data=radius)
+    # kmeans subset file (reference .npy format: dict with center_examples)
+    km = {"center_examples": np.arange(0, N, 8)[:, None]}
+    np.save(d / kmeans_filename(RES, "imagenet", "selfsupervised", 8), km,
+            allow_pickle=True)
+    return str(d)
+
+
+def make_ds(hdf5_dir, **kw):
+    return get_dataset_hdf5(
+        RES, hdf5_dir, feature_extractor="selfsupervised", k_nn=K, seed=1, **kw
+    )
+
+
+def test_batch_shapes_and_norm(hdf5_dir):
+    ds = make_ds(hdf5_dir)
+    b = ds.sample_batch(8)
+    assert b.images.shape == (8, RES, RES, 3)
+    assert b.images.min() >= -1.0 and b.images.max() <= 1.0
+    assert b.labels.shape == (8,)
+    assert b.features.shape == (8, F)
+    np.testing.assert_allclose(
+        np.linalg.norm(b.features, axis=1), 1.0, rtol=1e-5
+    )
+    assert b.radii.shape == (8,)
+
+
+def test_neighbor_structure(hdf5_dir):
+    # The image returned must be one of the instance's k+1 neighbours.
+    ds = make_ds(hdf5_dir)
+    assert ds.sample_nns.shape == (N, K + 1)
+    # First neighbour of each point is itself (distance 0).
+    assert (ds.sample_nns[:, 0] == np.arange(N)).all()
+
+
+def test_conditioning_instance_balance(hdf5_dir):
+    ds = make_ds(hdf5_dir)
+    labels, feats = ds.sample_conditioning_instance_balance(16)
+    assert feats.shape == (16, F)
+    assert labels.shape == (16,)
+    w = np.zeros(N)
+    w[3] = 1.0  # force instance 3
+    labels, feats = ds.sample_conditioning_instance_balance(4, weights=w)
+    expected = ds.feats[3]
+    np.testing.assert_allclose(feats, np.tile(expected, (4, 1)), rtol=1e-5)
+
+
+def test_conditioning_nnclass_balance(hdf5_dir):
+    ds = make_ds(hdf5_dir, which_nn_balance="nnclass_balance")
+    labels, feats = ds.sample_conditioning_nnclass_balance(16, num_classes=4)
+    assert labels.shape == (16,)
+    assert set(np.unique(labels)).issubset({0, 1, 2, 3})
+    w = np.zeros(4)
+    w[2] = 1.0
+    labels, _ = ds.sample_conditioning_nnclass_balance(8, weights=w, num_classes=4)
+    assert (labels == 2).all()
+
+
+def test_kmeans_subset(hdf5_dir):
+    ds = make_ds(hdf5_dir, kmeans_subsampled=8)
+    assert ds.num_imgs == 8
+    assert set(ds.possible_sampling_idxs) == set(range(0, N, 8))
+    b = ds.sample_batch(4)
+    assert b.images.shape == (4, RES, RES, 3)
+
+
+def test_subsampled_data(hdf5_dir):
+    ds = make_ds(hdf5_dir, n_subsampled_data=10)
+    assert ds.num_imgs == 10
+
+
+def test_feature_augmentation_uses_hflip_bank(hdf5_dir):
+    ds = make_ds(hdf5_dir, feature_augmentation=True)
+    idxs = np.zeros(64, np.int64)
+    feats = ds.get_instance_features(idxs)
+    # With 50% flip prob over 64 draws both variants should appear.
+    assert len(np.unique(np.round(feats[:, 0], 6))) == 2
+
+
+def test_onehot_labels(hdf5_dir):
+    ds = make_ds(hdf5_dir, label_dim=4, label_onehot=True)
+    b = ds.sample_batch(6)
+    assert b.labels.shape == (6, 4)
+    np.testing.assert_allclose(b.labels.sum(axis=1), 1.0)
+
+
+def test_unconditional_images_only(hdf5_dir):
+    ds = make_ds(hdf5_dir, class_cond=False, instance_cond=False)
+    b = ds.sample_batch(5)
+    assert b.images.shape == (5, RES, RES, 3)
+    assert b.features is None
+
+
+def test_compute_nns_on_the_fly(hdf5_dir):
+    ds = make_ds(hdf5_dir, compute_nns=True)
+    assert ds.sample_nns.shape[1] == K + 1
+    assert (ds.sample_nns[:, 0] == np.arange(N)).all()

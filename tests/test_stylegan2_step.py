@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ic_gan_tpu.models import stylegan2 as sg2
+from ic_gan_tpu.train.stylegan2_step import (
+    SG2TrainConfig,
+    SG2TrainState,
+    make_sg2_train_step,
+    ada_update,
+)
+from ic_gan_tpu.data.augment import diff_augment
+
+
+def build(do_pl=False, do_r1=False, augment=False):
+    cfg = sg2.StyleGAN2Config(
+        img_resolution=16, z_dim=8, c_dim=0, h_dim=12, w_dim=16,
+        channel_base=512, channel_max=32, num_fp16_res=0, conv_clamp=None,
+        num_mapping_layers=2, mbstd_group_size=2,
+    )
+    tcfg = SG2TrainConfig()
+    g = sg2.Generator(cfg)
+    d = sg2.Discriminator(cfg)
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    N = 4
+    z = jnp.zeros((N, cfg.z_dim))
+    h = jnp.ones((N, cfg.h_dim))
+    g_vars = g.init(rngs, z, None, h)
+    x = jnp.zeros((N, 16, 16, 3))
+    d_vars = d.init(rngs, x, None, h)
+    state = SG2TrainState.create(g_vars, d_vars, tcfg)
+    aug = (lambda rng, img, p: diff_augment(rng, img, "color")) if augment else None
+    step = make_sg2_train_step(g, d, tcfg, cfg.z_dim, do_pl=do_pl, do_r1=do_r1,
+                               augment_fn=aug)
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(2), (N, 16, 16, 3)) * 0.5,
+        "h": jax.random.normal(jax.random.PRNGKey(3), (N, cfg.h_dim)),
+        "gen_h": jax.random.normal(jax.random.PRNGKey(4), (N, cfg.h_dim)),
+    }
+    return state, step, batch
+
+
+@pytest.mark.parametrize("do_pl,do_r1", [(False, False), (True, True)])
+def test_sg2_step_runs_and_updates(do_pl, do_r1):
+    state, step, batch = build(do_pl=do_pl, do_r1=do_r1)
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["G_loss"]))
+    assert np.isfinite(float(metrics["D_loss"]))
+    if do_pl:
+        assert "pl_penalty" in metrics and np.isfinite(float(metrics["pl_penalty"]))
+        assert float(new_state.pl_mean) != 0.0
+    if do_r1:
+        assert "r1_penalty" in metrics and np.isfinite(float(metrics["r1_penalty"]))
+
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.g_params),
+                        jax.tree.leaves(new_state.g_params))
+    )
+    assert changed
+    # w_avg moving average updated during Gmain.
+    w_avg_old = state.g_state["batch_stats"]["mapping"]["w_avg"]
+    w_avg_new = new_state.g_state["batch_stats"]["mapping"]["w_avg"]
+    assert not np.allclose(np.asarray(w_avg_old), np.asarray(w_avg_new))
+
+
+def test_sg2_step_with_augment_pipe():
+    state, step, batch = build(augment=True)
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["D_loss"]))
+
+
+def test_ada_controller_moves_p():
+    state, step, batch = build()
+    cfg = SG2TrainConfig()
+    # Fake overfitting signal: real signs strongly positive -> p must rise.
+    state = state.replace(ada_sign_sum=jnp.asarray(40.0), ada_count=jnp.asarray(40.0))
+    new_state = ada_update(state, cfg, batch_size=4)
+    assert float(new_state.ada_p) > float(state.ada_p)
+    assert float(new_state.ada_count) == 0.0
+    # Underfitting: negative signs -> p must fall (clipped at 0).
+    state2 = state.replace(ada_p=jnp.asarray(0.5),
+                           ada_sign_sum=jnp.asarray(-40.0),
+                           ada_count=jnp.asarray(40.0))
+    new2 = ada_update(state2, cfg, batch_size=4)
+    assert float(new2.ada_p) < 0.5
+
+
+def test_ema_rampup_beta_small_early():
+    # Early in training (cur_nimg small) the EMA must track the live weights
+    # closely (ema_nimg clipped by rampup).
+    state, step, batch = build()
+    new_state, _ = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+    for e, p in zip(jax.tree.leaves(new_state.g_ema_params),
+                    jax.tree.leaves(new_state.g_params)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(p), atol=1e-4)

@@ -1,0 +1,138 @@
+"""upfirdn2d parity vs the reference's pure-PyTorch oracle.
+
+The reference ships a reference implementation selected by ``impl="ref"``
+(``torch_utils/ops/upfirdn2d.py:200-246``) that is the de-facto correctness
+spec for the CUDA kernel; we test our XLA formulation against it, following
+the same oracle pattern (SURVEY.md §4).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference/stylegan2_ada_pytorch")
+
+import jax
+import jax.numpy as jnp
+
+from ic_gan_tpu.ops import resample
+
+
+def _ref_upfirdn2d():
+    from torch_utils.ops import upfirdn2d as ref
+
+    return ref
+
+
+def run_both(x_nchw, f, **kw):
+    ref = _ref_upfirdn2d()
+    tx = torch.from_numpy(x_nchw)
+    tf = None if f is None else torch.from_numpy(np.asarray(f, np.float32))
+    ref_out = ref.upfirdn2d(tx, tf, impl="ref", **kw).numpy()
+    jf = None if f is None else jnp.asarray(f, jnp.float32)
+    ours = resample.upfirdn2d(
+        jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))), jf, **kw
+    )
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    return ours, ref_out
+
+
+@pytest.mark.parametrize("up,down", [(1, 1), (2, 1), (1, 2), (2, 2), (4, 1)])
+@pytest.mark.parametrize("padding", [0, 1, (1, 2, 0, 3)])
+def test_upfirdn2d_matches_reference(up, down, padding):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 8, 8).astype(np.float32)
+    f = np.outer([1, 3, 3, 1], [1, 3, 3, 1]).astype(np.float32)
+    f /= f.sum()
+    ours, ref_out = run_both(x, f, up=up, down=down, padding=padding)
+    assert ours.shape == ref_out.shape
+    np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+
+def test_upfirdn2d_no_filter_identity():
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 2, 5, 5).astype(np.float32)
+    ours, ref_out = run_both(x, None, up=2, padding=1)
+    np.testing.assert_allclose(ours, ref_out, atol=1e-6)
+
+
+@pytest.mark.parametrize("flip_filter", [False, True])
+@pytest.mark.parametrize("gain", [1.0, 4.0])
+def test_upfirdn2d_flip_and_gain(flip_filter, gain):
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 2, 6, 6).astype(np.float32)
+    f = rng.rand(3, 5).astype(np.float32)  # asymmetric, non-square
+    ours, ref_out = run_both(
+        x, f, up=2, down=1, padding=2, flip_filter=flip_filter, gain=gain
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=1e-4)
+
+
+def test_upfirdn2d_negative_padding():
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 1, 8, 8).astype(np.float32)
+    f = np.ones((2, 2), np.float32) / 4.0
+    ours, ref_out = run_both(x, f, up=1, down=1, padding=(-1, -1, -2, 0))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-6)
+
+
+def test_separable_filter_matches_reference():
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 3, 10, 10).astype(np.float32)
+    # 8-tap 1-D filter triggers the separable path in both implementations.
+    f1d = np.asarray([1, 3, 5, 7, 7, 5, 3, 1], np.float32)
+    f1d /= f1d.sum()
+    ours, ref_out = run_both(x, f1d, up=2, down=1, padding=3)
+    np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+
+@pytest.mark.parametrize("fn,kw", [
+    ("filter2d", {}),
+    ("upsample2d", dict(up=2)),
+    ("downsample2d", dict(down=2)),
+])
+def test_wrappers_match_reference(fn, kw):
+    ref = _ref_upfirdn2d()
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 3, 8, 8).astype(np.float32)
+    f = np.asarray([1, 3, 3, 1], np.float32)
+    tf = ref.setup_filter(torch.from_numpy(f))
+    ref_out = getattr(ref, fn)(torch.from_numpy(x), tf, impl="ref", **kw).numpy()
+    jfilt = resample.setup_filter(jnp.asarray(f))
+    ours = getattr(resample, fn)(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jfilt, **kw
+    )
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+
+def test_gradient_adjoint_identity():
+    # d/dx of upfirdn2d must equal upfirdn with swapped up/down, complemented
+    # padding, flipped filter (ref upfirdn2d.py:325-349); JAX derives this
+    # automatically — check it numerically via vjp against the reference's own
+    # autograd on the ref impl.
+    ref = _ref_upfirdn2d()
+    rng = np.random.RandomState(6)
+    x = rng.randn(1, 2, 6, 6).astype(np.float32)
+    f = np.outer([1, 2, 1], [1, 2, 1]).astype(np.float32)
+    f /= f.sum()
+
+    tx = torch.from_numpy(x).requires_grad_(True)
+    t_out = ref.upfirdn2d(
+        tx, torch.from_numpy(f), up=2, down=1, padding=1, impl="ref"
+    )
+    g = torch.ones_like(t_out)
+    t_out.backward(g)
+    ref_grad = tx.grad.numpy()
+
+    def fwd(xx):
+        return jnp.sum(
+            resample.upfirdn2d(xx, jnp.asarray(f), up=2, down=1, padding=1)
+        )
+
+    ours_grad = jax.grad(fwd)(jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    ours_grad = np.transpose(np.asarray(ours_grad), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours_grad, ref_grad, atol=1e-5)
