@@ -1,0 +1,116 @@
+"""Quantitative evaluation of a trained model (reference: ``inference/test.py``).
+
+Computes IS / FID (+ optional PRDC, stratified FID) over
+``num_inception_images`` samples with dataset-driven conditioning, and can
+export a sample npz for external eval (the reference's TF1 path).
+
+Usage:
+    python -m ic_gan_tpu.cli.test --json_config cfg.json [--set ...]
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ic_gan_tpu.cli.config import parse_args, split_config
+from ic_gan_tpu.cli.inference import load_model_inference
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    apply_fn, model_cfg = load_model_inference(cfg)
+
+    from ic_gan_tpu.data.datasets import get_dataset_hdf5
+    from ic_gan_tpu.eval.pipeline import (
+        InceptionEvaluator,
+        evaluate_generator,
+        moments_filename,
+    )
+
+    _, _, _, data_kwargs = split_config(cfg)
+    dataset = get_dataset_hdf5(**data_kwargs)
+
+    data_root = data_kwargs["data_path"]
+    ref = np.load(
+        os.path.join(
+            data_root,
+            moments_filename(
+                cfg.get("resolution", 64),
+                cfg.get("which_dataset", "imagenet"),
+                cfg.get("longtail", False),
+            ),
+        )
+    )
+    evaluator = InceptionEvaluator(cfg.get("inception_weights"))
+
+    dim_z = model_cfg.effective_dim_z
+    z_var = cfg.get("z_var", 1.0)
+    counter = [0]
+
+    def sample(b):
+        counter[0] += 1
+        rng = jax.random.PRNGKey(cfg.get("seed", 0) + counter[0])
+        if dataset.which_nn_balance == "instance_balance":
+            labels, feats = dataset.sample_conditioning_instance_balance(b)
+        else:
+            labels, feats = dataset.sample_conditioning_nnclass_balance(
+                b, num_classes=model_cfg.n_classes
+            )
+        z = jax.random.normal(rng, (b, dim_z)) * np.sqrt(z_var)
+        imgs = apply_fn(
+            z,
+            jnp.asarray(labels) if model_cfg.class_cond else None,
+            jnp.asarray(feats) if model_cfg.instance_cond else None,
+        )
+        return np.asarray(imgs), labels if model_cfg.class_cond else None
+
+    prdc_ref = None
+    if cfg.get("eval_prdc", False):
+        # Reference features for PRDC from real data (ref test.py:82-91).
+        n_ref = min(cfg.get("prdc_ref_images", 10000), len(dataset))
+        pools = []
+        for lo in range(0, n_ref, 64):
+            idxs = dataset.possible_sampling_idxs[lo : min(lo + 64, n_ref)]
+            imgs = dataset._norm(dataset._get_images(idxs))
+            p, _ = evaluator(jnp.asarray(imgs))
+            pools.append(p)
+        prdc_ref = np.concatenate(pools)
+
+    metrics = evaluate_generator(
+        sample,
+        evaluator,
+        ref["mu"],
+        ref["sigma"],
+        num_images=cfg.get("num_inception_images", 50000),
+        batch=cfg.get("eval_batch_size", 64),
+        prdc_ref_features=prdc_ref,
+        prdc_nearest_k=cfg.get("prdc_nearest_k", 5),
+    )
+    print({k: round(float(v), 4) for k, v in metrics.items()})
+    out = cfg.get("metrics_out", "")
+    if out:
+        np.save(out, metrics, allow_pickle=True)
+
+    if cfg.get("sample_npz", False):
+        # Export samples for the official TF-based eval (ref test.py:186-267).
+        n = cfg.get("sample_num_npz", 50000)
+        imgs_all = []
+        remaining = n
+        while remaining > 0:
+            b = min(cfg.get("eval_batch_size", 64), remaining)
+            imgs, _ = sample(b)
+            imgs_all.append(((imgs + 1) / 2 * 255).astype(np.uint8))
+            remaining -= b
+        x = np.concatenate(imgs_all)
+        npz_path = cfg.get("npz_path", "samples.npz")
+        np.savez(npz_path, x=np.transpose(x, (0, 3, 1, 2)))
+        print(f"wrote {len(x)} samples to {npz_path}")
+
+
+if __name__ == "__main__":
+    main()

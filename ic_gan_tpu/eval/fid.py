@@ -83,12 +83,24 @@ def frechet_distance(
     s2 = jnp.asarray(sigma2, jnp.float32)
     diff = mu1 - mu2
     covmean = sqrtm_newton_schulz(s1 @ s2, num_iters)
-    out = (
-        jnp.dot(diff, diff)
-        + jnp.trace(s1)
-        + jnp.trace(s2)
-        - 2.0 * jnp.trace(covmean)
-    )
+    tr_covmean = jnp.trace(covmean)
+    if not bool(jnp.isfinite(tr_covmean)):
+        # Rank-deficient covariances (few samples, high dim) make the product
+        # singular and Newton-Schulz diverges; fall back to the exact host
+        # sqrtm with the classic eps regularization (TTUR fid.py behaviour).
+        import scipy.linalg
+
+        a = np.asarray(s1, np.float64)
+        b = np.asarray(s2, np.float64)
+        covmean_np, _ = scipy.linalg.sqrtm(a @ b, disp=False)
+        if not np.isfinite(covmean_np).all():
+            eps = 1e-6
+            offset = np.eye(a.shape[0]) * eps
+            covmean_np, _ = scipy.linalg.sqrtm(
+                (a + offset) @ (b + offset), disp=False
+            )
+        tr_covmean = jnp.asarray(np.real(np.trace(covmean_np)), s1.dtype)
+    out = jnp.dot(diff, diff) + jnp.trace(s1) + jnp.trace(s2) - 2.0 * tr_covmean
     return float(out)
 
 
@@ -106,6 +118,7 @@ def inception_score(
         probs = x
     scores = []
     n = probs.shape[0]
+    num_splits = max(1, min(num_splits, n))  # avoid empty splits on tiny n
     for i in range(num_splits):
         part = probs[i * n // num_splits : (i + 1) * n // num_splits]
         py = part.mean(axis=0, keepdims=True)

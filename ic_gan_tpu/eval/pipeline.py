@@ -1,0 +1,236 @@
+"""End-to-end eval pipeline: Inception activations → IS / FID / stratified-FID
+/ PRDC.
+
+Reference: ``data_utils/inception_utils.py:289-455`` (activation accumulation
++ ``prepare_inception_metrics`` closure) and
+``data_utils/calculate_inception_moments.py`` (reference-moment precompute,
+incl. ImageNet-LT many/low/few strata).
+
+On-device design: activations stream through a jitted InceptionV3 in batches;
+moments accumulate as (sum, outer) pairs (``eval.fid.FeatureMoments``); FID's
+matrix sqrt runs as Newton-Schulz matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ic_gan_tpu.eval.fid import (
+    FeatureMoments,
+    frechet_distance,
+    inception_score,
+)
+from ic_gan_tpu.eval.prdc import compute_prdc
+from ic_gan_tpu.models.inception import InceptionV3, load_torch_inception
+
+
+def moments_filename(resolution, which_dataset="imagenet", longtail=False,
+                     split="train", test_part=False, strat=""):
+    """``I64_inception_moments.npz`` convention
+    (``calculate_inception_moments.py:170-192``)."""
+    prefix = {"imagenet": "I", "imagenet_lt": "I", "coco": "COCO"}.get(
+        which_dataset, which_dataset
+    )
+    if strat:
+        return f"{prefix}{resolution}__val_{strat}_inception_moments.npz"
+    return "%s%i%s%s%s_inception_moments.npz" % (
+        prefix,
+        resolution,
+        "longtail" if longtail else "",
+        "_val" if split == "val" else "",
+        "_test" if test_part else "",
+    )
+
+
+class InceptionEvaluator:
+    """Jitted InceptionV3 feature extractor.
+
+    ``weights_path`` may point to a torchvision ``inception_v3`` checkpoint
+    (``.pth``); without it the net runs with random weights — the pipeline
+    stays runnable but FID values are only self-consistent, not comparable
+    (this environment cannot download the torchvision weights).
+    """
+
+    def __init__(self, weights_path: Optional[str] = None, batch: int = 64):
+        self.net = InceptionV3()
+        self.batch = batch
+        if weights_path and os.path.exists(weights_path):
+            import torch
+
+            sd = torch.load(weights_path, map_location="cpu")
+            sd = {k: v.numpy() for k, v in sd.items()}
+            self.variables = load_torch_inception(sd)
+            self.pretrained = True
+        else:
+            self.variables = self.net.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+            )
+            self.pretrained = False
+        self._apply = jax.jit(self.net.apply)
+
+    def __call__(self, images: jax.Array):
+        """images: NHWC in [-1, 1] → (pool (N,2048), logits (N,1000))."""
+        pool, logits = self._apply(self.variables, images)
+        return np.asarray(pool), np.asarray(logits)
+
+    def accumulate(self, image_iter: Iterable) -> Tuple[np.ndarray, np.ndarray]:
+        pools, logits = [], []
+        for imgs in image_iter:
+            p, l = self(jnp.asarray(imgs))
+            pools.append(p)
+            logits.append(l)
+        return np.concatenate(pools), np.concatenate(logits)
+
+
+def compute_dataset_moments(
+    dataset,
+    evaluator: InceptionEvaluator,
+    batch: int = 64,
+    max_items: Optional[int] = None,
+    samples_per_class: Optional[np.ndarray] = None,
+):
+    """Reference moments over a dataset (``calculate_inception_moments.py``).
+
+    Returns ``{"": (mu, sigma, IS)}`` plus ``"many"/"low"/"few"`` strata when
+    ``samples_per_class`` is given (ImageNet-LT).
+    """
+    n = len(dataset) if max_items is None else min(len(dataset), max_items)
+    pools, logits, labels = [], [], []
+    for lo in range(0, n, batch):
+        idxs = dataset.possible_sampling_idxs[lo : min(lo + batch, n)]
+        imgs = dataset._norm(dataset._get_images(idxs))
+        p, l = evaluator(jnp.asarray(imgs))
+        pools.append(p)
+        logits.append(l)
+        labels.append(dataset.get_label(idxs))
+    pool = np.concatenate(pools)
+    logit = np.concatenate(logits)
+    label = np.concatenate(labels)
+
+    def stats(p, lg):
+        mu, sigma = np.mean(p, axis=0), np.cov(p, rowvar=False)
+        is_mean, is_std = inception_score(lg)
+        return mu, sigma, (is_mean, is_std)
+
+    out = {"": stats(pool, logit)}
+    if samples_per_class is not None:
+        spc = samples_per_class[label]
+        out["many"] = stats(pool[spc >= 100], logit[spc >= 100])
+        mid = (spc < 100) & (spc > 20)
+        out["low"] = stats(pool[mid], logit[mid])
+        out["few"] = stats(pool[spc <= 20], logit[spc <= 20])
+    return out
+
+
+def save_moments(out_path: str, name: str, mu, sigma):
+    np.savez(os.path.join(out_path, name), mu=mu, sigma=sigma)
+
+
+def evaluate_generator(
+    sample_fn: Callable[[int], Tuple[np.ndarray, Optional[np.ndarray]]],
+    evaluator: InceptionEvaluator,
+    ref_mu: np.ndarray,
+    ref_sigma: np.ndarray,
+    num_images: int = 50000,
+    batch: int = 64,
+    num_splits: int = 10,
+    prdc_ref_features: Optional[np.ndarray] = None,
+    prdc_nearest_k: int = 5,
+    stratified: Optional[Dict] = None,
+    samples_per_class: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """Full quantitative eval (ref ``inception_utils.py:342-455`` +
+    ``compute_pdrc.py``): IS over 10 splits, FID vs reference moments,
+    optional PRDC and stratified FID.
+
+    ``sample_fn(batch) -> (images NHWC [-1,1], labels or None)``.
+    """
+    moments = FeatureMoments(2048)
+    logits_all, labels_all, pools_all = [], [], []
+    remaining = num_images
+    while remaining > 0:
+        b = min(batch, remaining)
+        imgs, labels = sample_fn(b)
+        pool, logits = evaluator(jnp.asarray(imgs))
+        moments.update(pool)
+        logits_all.append(logits)
+        if prdc_ref_features is not None or stratified is not None:
+            pools_all.append(pool)
+        if labels is not None:
+            labels_all.append(np.asarray(labels))
+        remaining -= b
+    logits_cat = np.concatenate(logits_all)
+
+    is_mean, is_std = inception_score(logits_cat, num_splits=num_splits)
+    fid = frechet_distance(moments.mean, moments.cov, ref_mu, ref_sigma)
+    out = {"IS_mean": is_mean, "IS_std": is_std, "FID": fid}
+
+    if stratified is not None and labels_all and samples_per_class is not None:
+        pool_cat = np.concatenate(pools_all)
+        label_cat = np.concatenate(labels_all)
+        spc = samples_per_class[label_cat]
+        masks = {
+            "many": spc >= 100,
+            "low": (spc < 100) & (spc > 20),
+            "few": spc <= 20,
+        }
+        for name, mask in masks.items():
+            if name in stratified and mask.sum() > 1:
+                mu_s = np.mean(pool_cat[mask], axis=0)
+                sig_s = np.cov(pool_cat[mask], rowvar=False)
+                ref_mu_s, ref_sig_s = stratified[name]
+                out[f"FID_{name}"] = frechet_distance(
+                    mu_s, sig_s, ref_mu_s, ref_sig_s
+                )
+
+    if prdc_ref_features is not None:
+        pool_cat = np.concatenate(pools_all)
+        k = min(len(prdc_ref_features), len(pool_cat))
+        out.update(
+            compute_prdc(prdc_ref_features[:k], pool_cat[:k], prdc_nearest_k)
+        )
+    return out
+
+
+def make_train_eval_fn(cfg: Dict):
+    """Build the trainer's ``eval_fn`` from a flat config (used by
+    ``cli.train``): needs precomputed reference moments npz under
+    ``data_root``."""
+    data_root = cfg.get("data_root", cfg.get("data_path", "data"))
+    name = moments_filename(
+        cfg.get("resolution", 64),
+        cfg.get("which_dataset", "imagenet"),
+        cfg.get("longtail", False),
+    )
+    path = os.path.join(data_root, name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"reference moments not found: {path}")
+    ref = np.load(path)
+    evaluator = InceptionEvaluator(cfg.get("inception_weights"))
+    num_images = cfg.get("num_inception_images", 50000)
+    eval_batch = cfg.get("eval_batch_size", 64)
+
+    def eval_fn(trainer):
+        import jax.random as jr
+
+        counter = [0]
+
+        def sample(b):
+            counter[0] += 1
+            imgs, labels, _ = trainer.sample_fn(
+                b, jr.PRNGKey(1000 + counter[0]), use_ema=True
+            )
+            return np.asarray(imgs), labels
+
+        return evaluate_generator(
+            sample, evaluator, ref["mu"], ref["sigma"],
+            num_images=num_images, batch=eval_batch,
+        )
+
+    return eval_fn

@@ -22,13 +22,23 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    batch_size: Optional[int] = None,
 ) -> Mesh:
-    """Create a (data[, model]) mesh over the available devices."""
+    """Create a (data[, model]) mesh.
+
+    When ``n_data`` is None it defaults to all devices; if ``batch_size`` is
+    given, it is clamped to the largest device count that divides the batch
+    (a microbatch smaller than the pod cannot shard further — extra devices
+    stay idle rather than failing the sharding).
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    assert n_data * n_model == len(devices), (n_data, n_model, len(devices))
-    arr = np.asarray(devices).reshape(n_data, n_model)
+        if batch_size is not None:
+            while n_data > 1 and batch_size % n_data != 0:
+                n_data -= 1
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, ("data", "model"))
 
 

@@ -42,8 +42,10 @@ class GANTrainState:
             d_params=d_params,
             g_state=g_state,
             d_state=d_state,
-            g_ema_params=jax.tree.map(lambda x: x, g_params),
-            g_ema_state=jax.tree.map(lambda x: x, g_state),
+            # jnp.copy, not identity: EMA must own distinct buffers so the
+            # whole state can be donated to the jitted step.
+            g_ema_params=jax.tree.map(jnp.copy, g_params),
+            g_ema_state=jax.tree.map(jnp.copy, g_state),
             g_opt_state=g_tx.init(g_params),
             d_opt_state=d_tx.init(d_params),
         )

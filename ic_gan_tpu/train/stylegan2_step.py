@@ -95,8 +95,9 @@ class SG2TrainState:
             d_params=d_params,
             g_state=g_state,
             d_state=d_state,
-            g_ema_params=jax.tree.map(lambda x: x, g_params),
-            g_ema_state=jax.tree.map(lambda x: x, g_state),
+            # Distinct buffers (donation-safe), see GANTrainState.create.
+            g_ema_params=jax.tree.map(jnp.copy, g_params),
+            g_ema_state=jax.tree.map(jnp.copy, g_state),
             g_opt_state=cfg.g_optimizer().init(g_params),
             d_opt_state=cfg.d_optimizer().init(d_params),
             pl_mean=jnp.zeros(()),

@@ -1,0 +1,278 @@
+"""BigGAN/IC-GAN trainer: epoch loop, eval, checkpointing, early stopping.
+
+Orchestration parity with ``BigGAN_PyTorch/trainer.py:41-541`` re-designed
+around a single jitted train step on a pjit mesh:
+
+- per-epoch loop over host-sampled batches (dataset conditioning sampling
+  stays on host, exactly like the reference's DataLoader; the slabs are
+  device_put with the microbatch axis sharded over the ``data`` mesh axis);
+- deterministic seeding per (epoch, step) (ref ``trainer.py:113-119``);
+- test every ``test_every`` epochs → IS/FID (+PRDC) via a pluggable eval fn,
+  best-checkpoint save on IS or FID (ref ``train_fns.py:290-362``);
+- early stop on FID patience and divergence stop when ``2·IS < best_IS``
+  (ref ``trainer.py:514-540``);
+- rotating ``copy%d`` saves (ref ``train_fns.py:219-236``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ic_gan_tpu.data.datasets import HDF5Dataset
+from ic_gan_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from ic_gan_tpu.models.biggan import BigGANConfig, Discriminator, Generator
+from ic_gan_tpu.parallel.mesh import make_mesh, shard_batch
+from ic_gan_tpu.train.state import GANTrainState
+from ic_gan_tpu.train.step import TrainConfig, make_train_step
+from ic_gan_tpu.utils.logging import MetricLogger, MetricsLogger, write_metadata
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    experiment_name: str = "icgan_experiment"
+    weights_root: str = "weights"
+    logs_root: str = "logs"
+    num_epochs: int = 100
+    test_every: int = 5
+    save_every: int = 1
+    num_save_copies: int = 2
+    num_best_copies: int = 2
+    which_best: str = "FID"
+    es_patience: int = 50
+    seed: int = 0
+    deterministic_run: bool = True
+    batch_size: int = 64          # per-microbatch (per accumulation)
+    n_devices: Optional[int] = None
+
+
+class Trainer:
+    """Drives IC-GAN BigGAN training end-to-end."""
+
+    def __init__(
+        self,
+        model_cfg: BigGANConfig,
+        train_cfg: TrainConfig,
+        trainer_cfg: TrainerConfig,
+        dataset: HDF5Dataset,
+        eval_fn: Optional[Callable] = None,
+        sampling_weights: Optional[np.ndarray] = None,
+    ):
+        self.mcfg = model_cfg
+        self.tcfg = train_cfg
+        self.cfg = trainer_cfg
+        self.dataset = dataset
+        self.eval_fn = eval_fn
+        self.sampling_weights = sampling_weights
+
+        self.g = Generator(model_cfg)
+        self.d = Discriminator(model_cfg)
+        self.mesh = make_mesh(
+            trainer_cfg.n_devices, batch_size=trainer_cfg.batch_size
+        )
+        self.step_fn = jax.jit(
+            make_train_step(
+                self.g.apply, self.d.apply, train_cfg, model_cfg.effective_dim_z
+            ),
+            donate_argnums=(0,),
+        )
+
+        rng = jax.random.PRNGKey(trainer_cfg.seed)
+        mb = trainer_cfg.batch_size
+        z = jnp.zeros((mb, model_cfg.effective_dim_z))
+        feats = (
+            jnp.zeros((mb, model_cfg.instance_sz))
+            if model_cfg.instance_cond
+            else None
+        )
+        label = jnp.zeros((mb,), jnp.int32) if model_cfg.class_cond else None
+        g_vars = self.g.init(rng, z, label, feats, train=True)
+        x = jnp.zeros((mb, model_cfg.resolution, model_cfg.resolution, 3))
+        d_vars = self.d.init(rng, x, label, feats, train=True)
+        self.state = GANTrainState.create(
+            g_vars, d_vars, train_cfg.g_optimizer(), train_cfg.d_optimizer()
+        )
+
+        self.history: Dict[str, Any] = {
+            "itr": 0, "epoch": 0, "best_IS": 0.0, "best_FID": float("inf"),
+            "save_num": 0, "save_best_num": 0, "epochs_no_improvement": 0,
+        }
+        os.makedirs(trainer_cfg.weights_root, exist_ok=True)
+        logs_dir = os.path.join(trainer_cfg.logs_root, trainer_cfg.experiment_name)
+        os.makedirs(logs_dir, exist_ok=True)
+        self.train_log = MetricsLogger(
+            os.path.join(logs_dir, f"{trainer_cfg.experiment_name}_log.jsonl")
+        )
+        self.test_log = MetricsLogger(
+            os.path.join(logs_dir, f"{trainer_cfg.experiment_name}_test_log.jsonl")
+        )
+        self.metric_log = MetricLogger(logs_dir)
+        write_metadata(
+            logs_dir, trainer_cfg.experiment_name,
+            {"model": dataclasses.asdict(model_cfg) | {"dtype": str(model_cfg.dtype)},
+             "train": dataclasses.asdict(train_cfg),
+             "trainer": dataclasses.asdict(trainer_cfg)},
+        )
+
+    # -- data ---------------------------------------------------------------
+
+    def make_batch(self):
+        """Assemble the slab batch consumed by the train step: nD microbatches
+        of reals + nD+accG fresh generator conditionings (ref
+        ``train_fns.py:62-163`` — fresh sampling per accumulation)."""
+        t = self.tcfg
+        mb = self.cfg.batch_size
+        nD = t.num_D_steps * t.num_D_accumulations
+        nG = t.num_G_accumulations
+        xs, labels, feats = [], [], []
+        for _ in range(nD):
+            b = self.dataset.sample_batch(mb, weights=self.sampling_weights)
+            xs.append(b.images)
+            labels.append(b.labels)
+            feats.append(b.features)
+        batch = {"x": np.stack(xs)}
+        if self.mcfg.class_cond:
+            batch["label"] = np.stack(labels)
+        if self.mcfg.instance_cond:
+            batch["feats"] = np.stack(feats)
+        gl, gf = [], []
+        for _ in range(nD + nG):
+            if self.dataset.which_nn_balance == "instance_balance":
+                labels_g, f_g = self.dataset.sample_conditioning_instance_balance(
+                    mb, self.sampling_weights
+                )
+            else:
+                labels_g, f_g = self.dataset.sample_conditioning_nnclass_balance(
+                    mb, self.sampling_weights, num_classes=self.mcfg.n_classes
+                )
+            gl.append(labels_g)
+            gf.append(f_g)
+        if self.mcfg.class_cond:
+            batch["gen_label"] = np.stack(gl)
+        if self.mcfg.instance_cond:
+            batch["gen_feats"] = np.stack(gf)
+        return shard_batch(self.mesh, batch, axis=1)
+
+    # -- eval / save --------------------------------------------------------
+
+    def sample_fn(self, n: int, rng: jax.Array, use_ema: bool = True):
+        """Generate ``n`` images with fresh conditioning (for eval)."""
+        params = self.state.g_ema_params if use_ema else self.state.g_params
+        g_state = self.state.g_ema_state if use_ema else self.state.g_state
+        if self.dataset.which_nn_balance == "instance_balance":
+            labels, feats = self.dataset.sample_conditioning_instance_balance(n)
+        else:
+            labels, feats = self.dataset.sample_conditioning_nnclass_balance(
+                n, num_classes=self.mcfg.n_classes
+            )
+        z = jax.random.normal(rng, (n, self.mcfg.effective_dim_z)) * np.sqrt(
+            self.tcfg.z_var
+        )
+        imgs = self.g.apply(
+            {"params": params, **g_state},
+            z,
+            jnp.asarray(labels) if self.mcfg.class_cond else None,
+            jnp.asarray(feats) if self.mcfg.instance_cond else None,
+            train=False,
+        )
+        return imgs, labels, feats
+
+    def test(self):
+        if self.eval_fn is None:
+            return None
+        metrics = self.eval_fn(self)
+        is_mean = metrics.get("IS_mean", 0.0)
+        fid = metrics.get("FID", float("inf"))
+        h = self.history
+        improved = (
+            (self.cfg.which_best == "IS" and is_mean > h["best_IS"])
+            or (self.cfg.which_best == "FID" and fid < h["best_FID"])
+        )
+        if improved:
+            h["epochs_no_improvement"] = 0
+            self.save(suffix=f"best{h['save_best_num']}")
+            h["save_best_num"] = (h["save_best_num"] + 1) % self.cfg.num_best_copies
+        else:
+            h["epochs_no_improvement"] += 1
+        h["best_IS"] = max(h["best_IS"], is_mean)
+        h["best_FID"] = min(h["best_FID"], fid)
+        self.test_log.log(itr=h["itr"], **metrics)
+        self.metric_log.log(h["itr"], **metrics)
+        return metrics
+
+    def save(self, suffix: str = ""):
+        save_checkpoint(
+            self.cfg.weights_root,
+            self.cfg.experiment_name,
+            self.state,
+            config={"history": dict(self.history),
+                    "best_FID": self.history["best_FID"],
+                    "best_IS": self.history["best_IS"]},
+            suffix=suffix,
+        )
+
+    def resume(self, suffix: str = ""):
+        self.state, cfg = load_checkpoint(
+            self.cfg.weights_root, self.cfg.experiment_name, self.state, suffix
+        )
+        if cfg and "history" in cfg:
+            self.history.update(cfg["history"])
+
+    # -- main loop ----------------------------------------------------------
+
+    def run(self, steps_per_epoch: Optional[int] = None):
+        cfg = self.cfg
+        t = self.tcfg
+        per_step_imgs = cfg.batch_size * t.num_D_steps * t.num_D_accumulations
+        if steps_per_epoch is None:
+            steps_per_epoch = max(len(self.dataset) // per_step_imgs, 1)
+
+        for epoch in range(self.history["epoch"], cfg.num_epochs):
+            if cfg.deterministic_run:
+                self.dataset.rng = np.random.default_rng(cfg.seed + epoch)
+            t0 = time.time()
+            for it in range(steps_per_epoch):
+                batch = self.make_batch()
+                rng = jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed), self.history["itr"]
+                )
+                self.state, metrics = self.step_fn(self.state, batch, rng)
+                self.history["itr"] += 1
+                if self.history["itr"] % 100 == 0:
+                    self.train_log.log(
+                        itr=self.history["itr"],
+                        **{k: float(v) for k, v in metrics.items()},
+                    )
+            dt = time.time() - t0
+            imgs_per_sec = steps_per_epoch * per_step_imgs / dt
+            print(
+                f"epoch {epoch}: {dt:.1f}s ({imgs_per_sec:.1f} img/s) "
+                + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
+            )
+            self.history["epoch"] = epoch + 1
+
+            if (epoch + 1) % cfg.save_every == 0:
+                self.save()
+                if cfg.num_save_copies > 0:
+                    self.save(suffix=f"copy{self.history['save_num']}")
+                    self.history["save_num"] = (
+                        self.history["save_num"] + 1
+                    ) % cfg.num_save_copies
+            if (epoch + 1) % cfg.test_every == 0:
+                m = self.test()
+                if m is not None:
+                    # Divergence stop (ref trainer.py:514-516).
+                    if 2 * m.get("IS_mean", np.inf) < self.history["best_IS"]:
+                        print("Divergence detected — stopping.")
+                        return
+                    # Early stop on patience (ref trainer.py:532-540).
+                    if self.history["epochs_no_improvement"] >= cfg.es_patience:
+                        print("Early stopping — no improvement.")
+                        return

@@ -1,0 +1,143 @@
+"""End-to-end CLI workflow: prepare_data → train → generate_images → test.
+
+Mirrors the reference's user journey (prepare_data.sh → run.py →
+generate_images.py → test.py) on a tiny synthetic dataset with the
+random-init feature extractor / inception (no pretrained weights in CI).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("h5py")
+pytest.importorskip("PIL")
+
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    # Tiny image-folder dataset: 3 classes x 8 images.
+    rng = np.random.RandomState(0)
+    for c in range(3):
+        cdir = d / "images" / f"class_{c}"
+        os.makedirs(cdir)
+        for i in range(8):
+            arr = rng.randint(0, 255, (40, 48, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(cdir / f"img_{i}.jpg")
+    return d
+
+
+def base_cfg(workdir):
+    return {
+        "resolution": 32,
+        "which_dataset": "imagenet",
+        "data_root": str(workdir / "data"),
+        "out_path": str(workdir / "data"),
+        "image_root": str(workdir / "images"),
+        "feature_extractor": "selfsupervised",
+        "k_nn": 3,
+        "n_classes": 3,
+        "experiment_name": "e2e_exp",
+        "weights_root": str(workdir / "weights"),
+        "logs_root": str(workdir / "logs"),
+        "G_ch": 4, "D_ch": 4, "dim_z": 8,
+        "G_attn": "0", "D_attn": "0",
+        "shared_dim": 8, "shared_dim_feat": 8,
+        "class_cond": False, "instance_cond": True,
+        "batch_size": 4,
+        "num_epochs": 1,
+        "test_every": 1,
+        "save_every": 1,
+        "num_inception_images": 16,
+        "eval_batch_size": 8,
+        "ema_start": 0,
+    }
+
+
+def run_cli(mod, cfg, **extra):
+    cfg = dict(cfg, **extra)
+    argv = ["--set"] + [f"{k}={json.dumps(v)}" for k, v in cfg.items()]
+    mod.main(argv)
+
+
+def test_01_prepare_data(workdir):
+    from ic_gan_tpu.cli import prepare_data
+
+    run_cli(prepare_data, base_cfg(workdir), kmeans_subsampled=4)
+    data = workdir / "data"
+    assert (data / "ILSVRC32_xy.hdf5").exists()
+    assert (data / "ILSVRC32_feats_selfsupervised_resnet50.hdf5").exists()
+    assert (data / "ILSVRC32_feats_selfsupervised_resnet50_nn_k3.hdf5").exists()
+    assert (data / "IN_res32_rn50_selfsupervised_kmeans_k4.npy").exists()
+    assert (data / "I32_inception_moments.npz").exists()
+    import h5py
+
+    with h5py.File(data / "ILSVRC32_xy.hdf5", "r") as f:
+        assert f["imgs"].shape == (24, 3, 32, 32)
+        assert f["labels"].shape == (24,)
+    with h5py.File(
+        data / "ILSVRC32_feats_selfsupervised_resnet50.hdf5", "r"
+    ) as f:
+        assert f["feats"].shape == (24, 2048)
+        assert f["feats_hflip"].shape == (24, 2048)
+
+
+def test_02_train(workdir):
+    from ic_gan_tpu.cli import train
+
+    run_cli(train, base_cfg(workdir))
+    assert (workdir / "weights" / "e2e_exp").is_dir()
+    log = workdir / "logs" / "e2e_exp" / "e2e_exp_test_log.jsonl"
+    assert log.exists()
+    rec = json.loads(log.read_text().splitlines()[-1])
+    assert np.isfinite(rec["FID"])
+
+
+def test_03_generate_images(workdir):
+    from ic_gan_tpu.cli import generate_images
+
+    # Use the k-means-selected instance features like the reference's stored
+    # conditioning sets.
+    import h5py
+
+    data = workdir / "data"
+    km = np.load(data / "IN_res32_rn50_selfsupervised_kmeans_k4.npy",
+                 allow_pickle=True).item()["center_examples"][:, 0]
+    with h5py.File(
+        data / "ILSVRC32_feats_selfsupervised_resnet50.hdf5", "r"
+    ) as f:
+        feats = f["feats"][:][km]
+    feats = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    feats_path = str(workdir / "stored_feats.npy")
+    np.save(feats_path, feats)
+
+    out = str(workdir / "grid.png")
+    run_cli(
+        generate_images, base_cfg(workdir),
+        stored_features=feats_path, num_conditionings_gen=2, num_imgs_gen=3,
+        out_path=out,
+    )
+    img = np.asarray(Image.open(out))
+    assert img.shape == (2 * 32, 3 * 32, 3)  # 6 images in a 2x3 grid
+
+
+def test_04_quantitative_eval(workdir):
+    from ic_gan_tpu.cli import test as cli_test
+
+    run_cli(
+        cli_test, base_cfg(workdir),
+        num_inception_images=16, eval_prdc=True, prdc_ref_images=16,
+        sample_npz=True, sample_num_npz=8,
+        npz_path=str(workdir / "samples.npz"),
+        metrics_out=str(workdir / "metrics.npy"),
+    )
+    m = np.load(workdir / "metrics.npy", allow_pickle=True).item()
+    for key in ("IS_mean", "FID", "precision", "recall", "density", "coverage"):
+        assert key in m
+    npz = np.load(workdir / "samples.npz")
+    assert npz["x"].shape == (8, 3, 32, 32)
+    assert npz["x"].dtype == np.uint8

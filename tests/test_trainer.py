@@ -1,0 +1,123 @@
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+h5py = pytest.importorskip("h5py")
+
+from ic_gan_tpu.data.datasets import HDF5Dataset, hdf5_filenames
+from ic_gan_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from ic_gan_tpu.models.biggan import BigGANConfig
+from ic_gan_tpu.train.step import TrainConfig
+from ic_gan_tpu.train.trainer import Trainer, TrainerConfig
+
+
+@pytest.fixture()
+def tiny_env(tmp_path):
+    rng = np.random.RandomState(0)
+    names = hdf5_filenames(32, "imagenet", feature_extractor="selfsupervised",
+                           k_nn=3)
+    with h5py.File(tmp_path / names["xy"], "w") as f:
+        f.create_dataset(
+            "imgs", data=rng.randint(0, 255, (24, 3, 32, 32), dtype=np.uint8)
+        )
+        f.create_dataset("labels", data=rng.randint(0, 4, (24,)).astype(np.int64))
+    with h5py.File(tmp_path / names["feats"], "w") as f:
+        f.create_dataset("feats", data=rng.randn(24, 16).astype(np.float32))
+    ds = HDF5Dataset(
+        root=str(tmp_path / names["xy"]),
+        root_feats=str(tmp_path / names["feats"]),
+        load_labels=False,
+        load_features=True,
+        k_nn=3,
+        feature_dim=16,
+    )
+    mcfg = BigGANConfig(
+        resolution=32, n_classes=4, G_ch=4, D_ch=4, dim_z=8, G_attn="0",
+        D_attn="0", shared_dim=8, shared_dim_feat=8, instance_sz=16,
+    )
+    tcfg = TrainConfig(num_D_accumulations=1, num_G_accumulations=1, ema_start=0)
+    trcfg = TrainerConfig(
+        experiment_name="t",
+        weights_root=str(tmp_path / "weights"),
+        logs_root=str(tmp_path / "logs"),
+        num_epochs=1,
+        test_every=1,
+        save_every=1,
+        batch_size=4,
+    )
+    return ds, mcfg, tcfg, trcfg, tmp_path
+
+
+def test_trainer_one_epoch_saves_and_logs(tiny_env):
+    ds, mcfg, tcfg, trcfg, tmp = tiny_env
+    calls = []
+
+    def fake_eval(trainer):
+        imgs, _, _ = trainer.sample_fn(4, jax.random.PRNGKey(0))
+        assert imgs.shape == (4, 32, 32, 3)
+        calls.append(1)
+        return {"IS_mean": 2.0, "IS_std": 0.1, "FID": 100.0 - len(calls)}
+
+    tr = Trainer(mcfg, tcfg, trcfg, ds, eval_fn=fake_eval)
+    tr.run(steps_per_epoch=2)
+    assert tr.history["itr"] == 2
+    assert calls  # eval ran
+    assert os.path.isdir(os.path.join(trcfg.weights_root, "t"))
+    assert os.path.isdir(os.path.join(trcfg.weights_root, "t_best0"))
+    log_dir = os.path.join(trcfg.logs_root, "t")
+    assert os.path.exists(os.path.join(log_dir, "t_test_log.jsonl"))
+    assert os.path.exists(os.path.join(log_dir, "FID.log"))
+
+
+def test_trainer_resume_roundtrip(tiny_env):
+    ds, mcfg, tcfg, trcfg, tmp = tiny_env
+    tr = Trainer(mcfg, tcfg, trcfg, ds)
+    tr.run(steps_per_epoch=1)
+    itr = tr.history["itr"]
+    step_val = int(tr.state.step)
+
+    tr2 = Trainer(mcfg, tcfg, trcfg, ds)
+    tr2.resume()
+    assert tr2.history["itr"] == itr
+    assert int(tr2.state.step) == step_val
+    for a, b in zip(jax.tree.leaves(tr.state.g_params),
+                    jax.tree.leaves(tr2.state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_atomic_and_best_selection(tmp_path):
+    from ic_gan_tpu.io.checkpoint import find_best_checkpoint
+
+    state = {"a": jnp.ones((3,)), "b": {"c": jnp.zeros((2, 2))}}
+    save_checkpoint(str(tmp_path), "exp", state, {"best_FID": 10.0},
+                    suffix="best0")
+    save_checkpoint(str(tmp_path), "exp", state, {"best_FID": 5.0},
+                    suffix="best1")
+    path, fid = find_best_checkpoint(str(tmp_path), "exp")
+    assert path.endswith("best1") and fid == 5.0
+    loaded, cfg = load_checkpoint(str(tmp_path), "exp", state, suffix="best1")
+    np.testing.assert_array_equal(np.asarray(loaded["a"]), np.ones((3,)))
+    assert cfg["best_FID"] == 5.0
+
+
+def test_cli_config_split_accepts_reference_json():
+    import json
+
+    from ic_gan_tpu.cli.config import split_config
+
+    with open(
+        "/root/reference/BigGAN_PyTorch/config_files/ImageNet/IC-GAN/icgan_res64.json"
+    ) as f:
+        cfg = json.load(f)
+    model, train, trainer, data = split_config(cfg)
+    assert model.resolution == 64
+    assert model.instance_cond and not model.class_cond
+    assert model.shared_dim_feat == 512
+    assert train.G_lr == 1e-4 and train.D_lr == 1e-4
+    assert trainer.experiment_name == "icgan_biggan_imagenet_res64"
+    assert data["k_nn"] == 50
+    assert data["feature_extractor"] == "selfsupervised"
