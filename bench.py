@@ -36,13 +36,18 @@ def main():
     from ic_gan_tpu.models.biggan import BigGANConfig, Generator
     from __graft_entry__ import _fast_variables
 
+    from ic_gan_tpu.io.deploy import cast_params, fold_spectral_norm
+
     cfg = BigGANConfig(resolution=256, G_ch=96, G_attn="64", dtype=jnp.bfloat16)
     g = Generator(cfg)
-    batch = 32
+    batch = 128
     rng = jax.random.PRNGKey(0)
     z = jax.random.normal(rng, (batch, cfg.effective_dim_z))
     feats = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.instance_sz))
     variables = _fast_variables(g, z[:1], None, feats[:1], train=False)
+    # Deployment path: spectral norm folded into the kernels at load time
+    # (eval-mode σ is static), weights in bf16.
+    variables = cast_params(fold_spectral_norm(variables))
 
     def sample(v, z, f):
         imgs = g.apply(v, z, None, f, train=False)

@@ -63,20 +63,29 @@ class SNDense(nn.Module):
         kernel = self.param(
             "kernel", orthogonal_init(), (x.shape[-1], self.features), jnp.float32
         )
-        u = self.variable(
-            "sn",
-            "u",
-            lambda key, shape: jax.random.normal(key, shape),
-            self.make_rng("params") if self.is_initializing() else None,
-            (self.num_svs, self.features),
-        )
-        sv = self.variable("sn", "sv", lambda _, s: jnp.ones(s), None, (self.num_svs,))
-        w_bar, new_u, svs = spectral_normalize(
-            kernel, u.value, update=update_sn, num_itrs=self.num_itrs, eps=self.eps
-        )
-        if update_sn and not self.is_initializing():
-            u.value = new_u
-            sv.value = svs
+        # Folded-deployment mode: when the "sn" collection was stripped by
+        # io.deploy.fold_spectral_norm, σ is already baked into the kernel —
+        # skip the power iteration entirely.
+        if not self.is_initializing() and not self.has_variable("sn", "u"):
+            w_bar = kernel
+        else:
+            u = self.variable(
+                "sn",
+                "u",
+                lambda key, shape: jax.random.normal(key, shape),
+                self.make_rng("params") if self.is_initializing() else None,
+                (self.num_svs, self.features),
+            )
+            sv = self.variable(
+                "sn", "sv", lambda _, s: jnp.ones(s), None, (self.num_svs,)
+            )
+            w_bar, new_u, svs = spectral_normalize(
+                kernel, u.value, update=update_sn, num_itrs=self.num_itrs,
+                eps=self.eps,
+            )
+            if update_sn and not self.is_initializing():
+                u.value = new_u
+                sv.value = svs
         y = jnp.dot(x.astype(self.dtype), w_bar.astype(self.dtype))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
@@ -106,20 +115,26 @@ class SNConv(nn.Module):
             (kh, kw, x.shape[-1], self.features),
             jnp.float32,
         )
-        u = self.variable(
-            "sn",
-            "u",
-            lambda key, shape: jax.random.normal(key, shape),
-            self.make_rng("params") if self.is_initializing() else None,
-            (self.num_svs, self.features),
-        )
-        sv = self.variable("sn", "sv", lambda _, s: jnp.ones(s), None, (self.num_svs,))
-        w_bar, new_u, svs = spectral_normalize(
-            kernel, u.value, update=update_sn, num_itrs=self.num_itrs, eps=self.eps
-        )
-        if update_sn and not self.is_initializing():
-            u.value = new_u
-            sv.value = svs
+        if not self.is_initializing() and not self.has_variable("sn", "u"):
+            w_bar = kernel  # folded deployment mode (io.deploy)
+        else:
+            u = self.variable(
+                "sn",
+                "u",
+                lambda key, shape: jax.random.normal(key, shape),
+                self.make_rng("params") if self.is_initializing() else None,
+                (self.num_svs, self.features),
+            )
+            sv = self.variable(
+                "sn", "sv", lambda _, s: jnp.ones(s), None, (self.num_svs,)
+            )
+            w_bar, new_u, svs = spectral_normalize(
+                kernel, u.value, update=update_sn, num_itrs=self.num_itrs,
+                eps=self.eps,
+            )
+            if update_sn and not self.is_initializing():
+                u.value = new_u
+                sv.value = svs
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
@@ -155,25 +170,30 @@ class SNEmbed(nn.Module):
             (self.num_embeddings, self.features),
             jnp.float32,
         )
-        u = self.variable(
-            "sn",
-            "u",
-            lambda key, shape: jax.random.normal(key, shape),
-            self.make_rng("params") if self.is_initializing() else None,
-            (self.num_svs, self.num_embeddings),
-        )
-        sv = self.variable("sn", "sv", lambda _, s: jnp.ones(s), None, (self.num_svs,))
-        w_bar, new_u, svs = spectral_normalize(
-            table,
-            u.value,
-            update=update_sn,
-            num_itrs=self.num_itrs,
-            eps=self.eps,
-            transpose=True,
-        )
-        if update_sn and not self.is_initializing():
-            u.value = new_u
-            sv.value = svs
+        if not self.is_initializing() and not self.has_variable("sn", "u"):
+            w_bar = table  # folded deployment mode (io.deploy)
+        else:
+            u = self.variable(
+                "sn",
+                "u",
+                lambda key, shape: jax.random.normal(key, shape),
+                self.make_rng("params") if self.is_initializing() else None,
+                (self.num_svs, self.num_embeddings),
+            )
+            sv = self.variable(
+                "sn", "sv", lambda _, s: jnp.ones(s), None, (self.num_svs,)
+            )
+            w_bar, new_u, svs = spectral_normalize(
+                table,
+                u.value,
+                update=update_sn,
+                num_itrs=self.num_itrs,
+                eps=self.eps,
+                transpose=True,
+            )
+            if update_sn and not self.is_initializing():
+                u.value = new_u
+                sv.value = svs
         return jnp.take(w_bar.astype(self.dtype), idx, axis=0)
 
 
@@ -239,8 +259,13 @@ class CrossReplicaBatchNorm(nn.Module):
             v = jnp.where(use_standing, stored_var.value / cnt, stored_var.value)
 
         inv = jax.lax.rsqrt(v + self.eps)
-        y = (x.astype(jnp.float32) - mean) * inv
-        return y.astype(x.dtype)
+        if train or standing or x.dtype == jnp.float32:
+            y = (x.astype(jnp.float32) - mean) * inv
+            return y.astype(x.dtype)
+        # Low-precision eval: stats stay float32 but the (large, elementwise)
+        # normalization runs in the compute dtype so XLA fuses it with the
+        # surrounding bf16 convs instead of round-tripping through fp32.
+        return (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
 
 
 class ConditionalBatchNorm(nn.Module):
