@@ -135,6 +135,72 @@ def discriminator_key_map(cfg: BigGANConfig) -> Dict[Tuple[str, ...], Tuple[str,
     return m
 
 
+def deep_generator_key_map(cfg) -> Dict[Tuple[str, ...], Tuple[str, Any]]:
+    """BigGAN-deep G (ref ``BigGANdeep.py``).  Torch flattens the per-stage
+    depth stack as ``blocks.{stage*G_depth+g}.0`` with attention appended to
+    the last sublist of the stage (``blocks.{...}.1``)."""
+    from ic_gan_tpu.models.biggan import g_arch
+
+    arch = g_arch(cfg.resolution, cfg.G_ch, cfg.G_attn)
+    m: Dict[Tuple[str, ...], Tuple[str, Any]] = {}
+    if cfg.class_cond:
+        m[("params", "shared")] = ("shared.weight", _ident)
+    if cfg.instance_cond and cfg.G_shared_feat:
+        _dense(m, ("shared_feat",), "shared_feat")
+    _dense(m, ("linear",), "linear")
+    for i in range(len(arch["out_channels"])):
+        for g in range(cfg.G_depth):
+            p = (f"block_{i}_{g}",)
+            t = f"blocks.{i * cfg.G_depth + g}.0"
+            for b in range(1, 5):
+                _ccbn(m, p + (f"bn{b}",), f"{t}.bn{b}")
+            for c in range(1, 5):
+                _conv(m, p + (f"conv{c}",), f"{t}.conv{c}")
+        if arch["attention"][i]:
+            _attention(
+                m, (f"attn_{i}",),
+                f"blocks.{i * cfg.G_depth + cfg.G_depth - 1}.1",
+            )
+    m[("params", "output_bn", "gain")] = ("output_layer.0.gain", _ident)
+    m[("params", "output_bn", "bias")] = ("output_layer.0.bias", _ident)
+    m[("batch_stats", "output_bn", "bn", "mean")] = (
+        "output_layer.0.stored_mean", _ident,
+    )
+    m[("batch_stats", "output_bn", "bn", "var")] = (
+        "output_layer.0.stored_var", _ident,
+    )
+    _conv(m, ("output_conv",), "output_layer.2")
+    return m
+
+
+def deep_discriminator_key_map(cfg) -> Dict[Tuple[str, ...], Tuple[str, Any]]:
+    """BigGAN-deep D: ``blocks.{stage}.{d_index}``, attention at
+    ``blocks.{stage}.{D_depth}``, stem ``input_conv``."""
+    from ic_gan_tpu.models.biggan_deep import deep_d_arch
+
+    arch = deep_d_arch(cfg.resolution, cfg.D_ch, cfg.D_attn)
+    m: Dict[Tuple[str, ...], Tuple[str, Any]] = {}
+    _conv(m, ("input_conv",), "input_conv")
+    for i in range(len(arch["out_channels"])):
+        for d in range(cfg.D_depth):
+            p = (f"block_{i}_{d}",)
+            t = f"blocks.{i}.{d}"
+            for c in range(1, 5):
+                _conv(m, p + (f"conv{c}",), f"{t}.conv{c}")
+            in_f = arch["in_channels"][i] if d == 0 else arch["out_channels"][i]
+            if in_f != arch["out_channels"][i]:
+                _conv(m, p + ("conv_sc",), f"{t}.conv_sc")
+        if arch["attention"][i]:
+            _attention(m, (f"attn_{i}",), f"blocks.{i}.{cfg.D_depth}")
+    _dense(m, ("linear",), "linear")
+    if cfg.class_cond:
+        m[("params", "embed", "embedding")] = ("embed.weight", _ident)
+        _sn_entries(m, ("embed",), "embed")
+    if cfg.instance_cond:
+        _dense(m, ("linear_feat",), "linear_feat")
+    return m
+
+
 def _build_variables(key_map, torch_sd: Dict[str, np.ndarray]):
     from flax.traverse_util import unflatten_dict
     import jax.numpy as jnp
@@ -228,6 +294,15 @@ def load_discriminator_variables(
     if validate:
         _validate_shapes(variables, cfg, "D")
     return variables
+
+
+def load_deep_generator_variables(torch_sd: Dict[str, np.ndarray], cfg):
+    """BigGAN-deep ``G.state_dict()`` → Flax variables."""
+    return _build_variables(deep_generator_key_map(cfg), torch_sd)
+
+
+def load_deep_discriminator_variables(torch_sd: Dict[str, np.ndarray], cfg):
+    return _build_variables(deep_discriminator_key_map(cfg), torch_sd)
 
 
 def config_from_state_dict(state_dict_config: Dict[str, Any]) -> BigGANConfig:
