@@ -231,7 +231,8 @@ class HDF5Dataset:
 
     # -- training batches ----------------------------------------------------
 
-    def sample_batch(self, batch_size: int, weights=None) -> Batch:
+    def sample_batch(self, batch_size: int, weights=None,
+                 images_out: Optional[np.ndarray] = None) -> Batch:
         """Draw a full training batch: per sample, a conditioning instance and
         one of its neighbours (image+label from neighbour, features from the
         instance) — vectorized ``__getitem__`` (ref ``:476-523, 780-819``)."""
@@ -244,10 +245,12 @@ class HDF5Dataset:
                 p=np.asarray(weights) / np.sum(weights),
             )
         if not self.load_features:
-            imgs = self._norm(self._get_images(idxs))
+            hflip_mask = (
+                self.rng.integers(0, 2, size=batch_size).astype(np.uint8)
+                if self.hflip else None
+            )
+            imgs = self._prepare_images(idxs, hflip_mask, out=images_out)
             labels = self.get_label(idxs) if self.load_labels else None
-            if self.hflip:
-                imgs = self._random_hflip(imgs)
             return Batch(
                 imgs,
                 self._maybe_onehot(labels),
@@ -273,9 +276,11 @@ class HDF5Dataset:
             idx_nn = idxs
 
         radii = self.sample_nn_radius[idx_h].astype(np.float32)
-        imgs = self._norm(self._get_images(idx_nn))
-        if self.hflip:
-            imgs = self._random_hflip(imgs)
+        hflip_mask = (
+            self.rng.integers(0, 2, size=batch_size).astype(np.uint8)
+            if self.hflip else None
+        )
+        imgs = self._prepare_images(idx_nn, hflip_mask, out=images_out)
         labels = self.get_label(idx_nn) if self.load_labels else None
         feats = self.get_instance_features(idx_h)
         return Batch(imgs, self._maybe_onehot(labels), feats, radii)
@@ -333,6 +338,33 @@ class HDF5Dataset:
         if self.apply_norm:
             imgs = (imgs / 255.0 - 0.5) * 2.0
         return imgs
+
+    def _prepare_images(self, idxs: np.ndarray, hflip_mask=None,
+                        out: Optional[np.ndarray] = None) -> np.ndarray:
+        """uint8 CHW fetch → normalized float32 NHWC via the native fastloader
+        (GIL-releasing threaded C++; ``native/fastloader.cpp``).
+
+        Without ``out``, a per-dataset buffer is reused — valid only until
+        the next call (avoids re-page-faulting a fresh multi-MB allocation
+        per batch, which costs more than the conversion itself).  Callers
+        that hold several batches (slab assembly) pass their own ``out``.
+        """
+        from ic_gan_tpu.native.build import normalize_batch
+
+        idxs = np.asarray(idxs)
+        if self.data is not None:
+            u8 = self.data[idxs]
+        else:
+            with self._h5.File(self.root, "r") as f:
+                uniq, inv = np.unique(idxs, return_inverse=True)
+                u8 = f["imgs"][uniq][inv]
+        shape = (len(idxs),) + u8.shape[2:] + (u8.shape[1],)
+        if out is None:
+            out = getattr(self, "_img_buf", None)
+            if out is None or out.shape != shape:
+                out = np.empty(shape, np.float32)
+                self._img_buf = out
+        return normalize_batch(u8, hflip_mask, self.apply_norm, out=out)
 
     def _random_hflip(self, imgs: np.ndarray) -> np.ndarray:
         flip = self.rng.integers(0, 2, size=len(imgs)).astype(bool)

@@ -1,0 +1,202 @@
+// fastloader — native host-side batch assembly for the input pipeline.
+//
+// The reference's hot host loop converts uint8 CHW HDF5 chunks to normalized
+// float tensors inside DataLoader workers (datasets_common.py:504-507); this
+// extension does the transpose + normalize + horizontal flip for a whole
+// batch in parallel C++ threads with the GIL released, writing NHWC float32
+// directly (the TPU-native layout), so the Python process can overlap h5
+// reads, feature sampling, and device transfers.
+//
+// Exposed functions (CPython C API — no pybind11 in this environment):
+//   normalize_batch(src_u8_chw, dst_f32_nhwc, hflip_mask|None, apply_norm)
+//   gather_rows(src_2d_f32, indices_i64, dst_2d_f32)   # feature-bank gather
+//
+// Built JIT by ic_gan_tpu/native/build.py (md5-keyed cache, mirroring the
+// reference's torch_utils/custom_ops.py:52-148 incremental build pattern).
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <functional>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct U8Batch {
+  const uint8_t* src;  // (B, C, H, W)
+  float* dst;          // (B, H, W, C)
+  const uint8_t* flip; // (B,) or nullptr
+  long B, C, H, W;
+  bool apply_norm;
+};
+
+void convert_range(const U8Batch& a, long b0, long b1) {
+  const float scale = a.apply_norm ? (2.0f / 255.0f) : 1.0f;
+  const float shift = a.apply_norm ? -1.0f : 0.0f;
+  const long plane = a.H * a.W;
+  // Channel-outer order: each source plane streams sequentially and the
+  // interleaved writes advance by C floats (sequential cache lines) — the
+  // channel-inner variant pays ~3 cache misses per pixel on the 16 KB-apart
+  // plane reads.
+  for (long b = b0; b < b1; ++b) {
+    const uint8_t* src_img = a.src + b * a.C * plane;
+    float* dst_img = a.dst + b * plane * a.C;
+    const bool flip = a.flip != nullptr && a.flip[b] != 0;
+    if (a.C == 3) {
+      // RGB fast path: sequential interleaved writes, three sequential read
+      // streams — autovectorizes.
+      const uint8_t* p0 = src_img;
+      const uint8_t* p1 = src_img + plane;
+      const uint8_t* p2 = src_img + 2 * plane;
+      for (long y = 0; y < a.H; ++y) {
+        const uint8_t* r0 = p0 + y * a.W;
+        const uint8_t* r1 = p1 + y * a.W;
+        const uint8_t* r2 = p2 + y * a.W;
+        float* out = dst_img + y * a.W * 3;
+        if (flip) {
+          for (long x = 0; x < a.W; ++x) {
+            const long sx = a.W - 1 - x;
+            out[3 * x] = static_cast<float>(r0[sx]) * scale + shift;
+            out[3 * x + 1] = static_cast<float>(r1[sx]) * scale + shift;
+            out[3 * x + 2] = static_cast<float>(r2[sx]) * scale + shift;
+          }
+        } else {
+          for (long x = 0; x < a.W; ++x) {
+            out[3 * x] = static_cast<float>(r0[x]) * scale + shift;
+            out[3 * x + 1] = static_cast<float>(r1[x]) * scale + shift;
+            out[3 * x + 2] = static_cast<float>(r2[x]) * scale + shift;
+          }
+        }
+      }
+      continue;
+    }
+    for (long c = 0; c < a.C; ++c) {
+      const uint8_t* src_plane = src_img + c * plane;
+      for (long y = 0; y < a.H; ++y) {
+        const uint8_t* row = src_plane + y * a.W;
+        float* out_row = dst_img + y * a.W * a.C + c;
+        if (flip) {
+          for (long x = 0; x < a.W; ++x) {
+            out_row[x * a.C] =
+                static_cast<float>(row[a.W - 1 - x]) * scale + shift;
+          }
+        } else {
+          for (long x = 0; x < a.W; ++x) {
+            out_row[x * a.C] = static_cast<float>(row[x]) * scale + shift;
+          }
+        }
+      }
+    }
+  }
+}
+
+void run_parallel(long n_items, const std::function<void(long, long)>& fn) {
+  unsigned n_threads = std::thread::hardware_concurrency();
+  if (n_threads == 0) n_threads = 4;
+  if (static_cast<long>(n_threads) > n_items) n_threads = (unsigned)n_items;
+  if (n_threads <= 1) {
+    fn(0, n_items);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const long per = (n_items + n_threads - 1) / n_threads;
+  for (unsigned t = 0; t < n_threads; ++t) {
+    const long lo = t * per;
+    const long hi = std::min<long>(lo + per, n_items);
+    if (lo >= hi) break;
+    threads.emplace_back(fn, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// normalize_batch(src_bytes, dst_bytes, flip_bytes|None, B, C, H, W, apply_norm)
+PyObject* normalize_batch(PyObject*, PyObject* args) {
+  Py_buffer src, dst, flip;
+  PyObject* flip_obj;
+  long B, C, H, W;
+  int apply_norm;
+  if (!PyArg_ParseTuple(args, "y*w*Ollllp", &src, &dst, &flip_obj, &B, &C,
+                        &H, &W, &apply_norm)) {
+    return nullptr;
+  }
+  bool has_flip = flip_obj != Py_None;
+  flip.buf = nullptr;
+  if (has_flip &&
+      PyObject_GetBuffer(flip_obj, &flip, PyBUF_SIMPLE) != 0) {
+    PyBuffer_Release(&src);
+    PyBuffer_Release(&dst);
+    return nullptr;
+  }
+  if (src.len < (Py_ssize_t)(B * C * H * W) ||
+      dst.len < (Py_ssize_t)(B * C * H * W * (long)sizeof(float))) {
+    PyErr_SetString(PyExc_ValueError, "buffer sizes do not match B*C*H*W");
+    PyBuffer_Release(&src);
+    PyBuffer_Release(&dst);
+    if (has_flip) PyBuffer_Release(&flip);
+    return nullptr;
+  }
+  U8Batch a{static_cast<const uint8_t*>(src.buf),
+            static_cast<float*>(dst.buf),
+            has_flip ? static_cast<const uint8_t*>(flip.buf) : nullptr,
+            B, C, H, W, apply_norm != 0};
+  Py_BEGIN_ALLOW_THREADS
+  run_parallel(B, [&](long lo, long hi) { convert_range(a, lo, hi); });
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&src);
+  PyBuffer_Release(&dst);
+  if (has_flip) PyBuffer_Release(&flip);
+  Py_RETURN_NONE;
+}
+
+// gather_rows(src_bytes, idx_bytes, dst_bytes, n_rows_src, dim, n_idx)
+PyObject* gather_rows(PyObject*, PyObject* args) {
+  Py_buffer src, idx, dst;
+  long n_src, dim, n_idx;
+  if (!PyArg_ParseTuple(args, "y*y*w*lll", &src, &idx, &dst, &n_src, &dim,
+                        &n_idx)) {
+    return nullptr;
+  }
+  const float* s = static_cast<const float*>(src.buf);
+  const int64_t* ix = static_cast<const int64_t*>(idx.buf);
+  float* d = static_cast<float*>(dst.buf);
+  bool ok = true;
+  Py_BEGIN_ALLOW_THREADS
+  run_parallel(n_idx, [&](long lo, long hi) {
+    for (long i = lo; i < hi; ++i) {
+      const int64_t r = ix[i];
+      if (r < 0 || r >= n_src) {
+        ok = false;
+        continue;
+      }
+      std::memcpy(d + i * dim, s + r * dim, dim * sizeof(float));
+    }
+  });
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&src);
+  PyBuffer_Release(&idx);
+  PyBuffer_Release(&dst);
+  if (!ok) {
+    PyErr_SetString(PyExc_IndexError, "gather index out of range");
+    return nullptr;
+  }
+  Py_RETURN_NONE;
+}
+
+PyMethodDef methods[] = {
+    {"normalize_batch", normalize_batch, METH_VARARGS,
+     "uint8 CHW batch -> normalized float32 NHWC, threaded, GIL-free"},
+    {"gather_rows", gather_rows, METH_VARARGS,
+     "float32 row gather, threaded, GIL-free"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef module = {PyModuleDef_HEAD_INIT, "_fastloader",
+                      "native input-pipeline kernels", -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__fastloader(void) { return PyModule_Create(&module); }

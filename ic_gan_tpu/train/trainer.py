@@ -131,13 +131,19 @@ class Trainer:
         mb = self.cfg.batch_size
         nD = t.num_D_steps * t.num_D_accumulations
         nG = t.num_G_accumulations
-        xs, labels, feats = [], [], []
-        for _ in range(nD):
-            b = self.dataset.sample_batch(mb, weights=self.sampling_weights)
-            xs.append(b.images)
+        res = self.mcfg.resolution
+        slab = getattr(self, "_x_slab", None)
+        if slab is None or slab.shape[:2] != (nD, mb):
+            slab = np.empty((nD, mb, res, res, 3), np.float32)
+            self._x_slab = slab
+        labels, feats = [], []
+        for i in range(nD):
+            b = self.dataset.sample_batch(
+                mb, weights=self.sampling_weights, images_out=slab[i]
+            )
             labels.append(b.labels)
             feats.append(b.features)
-        batch = {"x": np.stack(xs)}
+        batch = {"x": slab}
         if self.mcfg.class_cond:
             batch["label"] = np.stack(labels)
         if self.mcfg.instance_cond:
