@@ -349,10 +349,24 @@ class SelfAttention(nn.Module):
         phi = phi.reshape(N, H * W // 4, ch // 8)
         g = g.reshape(N, H * W // 4, ch // 2)
 
-        logits = jnp.einsum(
-            "nqc,nkc->nqk", theta, phi, preferred_element_type=jnp.float32
-        )
-        beta = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        if self.dtype == jnp.bfloat16:
+            # Low-precision path: keep the (N, HW, HW/4) logits in bf16 (MXU
+            # still accumulates in f32) with f32 row sums — avoids
+            # materializing a multi-GB f32 logits tensor at 64×64; costs ~30%
+            # of sampling time otherwise.
+            logits = jnp.einsum(
+                "nqc,nkc->nqk", theta, phi,
+                preferred_element_type=jnp.bfloat16,
+            )
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp((logits - m).astype(jnp.bfloat16))
+            s = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            beta = (p / s.astype(jnp.bfloat16)).astype(self.dtype)
+        else:
+            logits = jnp.einsum(
+                "nqc,nkc->nqk", theta, phi, preferred_element_type=jnp.float32
+            )
+            beta = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         o = jnp.einsum("nqk,nkc->nqc", beta, g, preferred_element_type=jnp.float32)
         o = o.astype(self.dtype).reshape(N, H, W, ch // 2)
         o = conv(ch, "o")(o, update_sn)
