@@ -17,6 +17,32 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def filter_by_hd(
+    ood_distance: int,
+    all_idxs_file: str,
+    ids_by_hd_file: str,
+) -> np.ndarray:
+    """COCO-Stuff evaluation-set filter by hamming distance of class sets
+    (ref ``data_utils/utils.py:640-680``): distance 0 keeps only images whose
+    class combination was seen in training; >0 keeps all unseen combinations.
+
+    The two npy files are the reference's precomputed artifacts
+    (``cocostuff_val_indexes/cocostuff_val2_all_idxs.npy`` and
+    ``val2_image_ids_by_hd_75ktraining_im.npy``).
+    """
+    image_ids_original = np.load(all_idxs_file, allow_pickle=True)
+    by_hd = np.load(ids_by_hd_file, allow_pickle=True)
+    if ood_distance == 0:
+        image_ids = set(by_hd[0])
+    else:
+        image_ids = set()
+        for dist in range(1, len(by_hd)):
+            image_ids.update(by_hd[dist])
+    return np.asarray(
+        [i for i, img_id in enumerate(image_ids_original) if img_id in image_ids]
+    )
+
+
 def _center_crop_resize(img, resolution: int):
     from PIL import Image
 

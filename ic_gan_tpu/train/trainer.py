@@ -220,7 +220,12 @@ class Trainer:
             self.state,
             config={"history": dict(self.history),
                     "best_FID": self.history["best_FID"],
-                    "best_IS": self.history["best_IS"]},
+                    "best_IS": self.history["best_IS"],
+                    # Sampler state for exact mid-run resume — the
+                    # CheckpointedSampler equivalent (ref
+                    # data_utils/utils.py:125-224 replays RNG to the resume
+                    # point; we snapshot the generator state directly).
+                    "dataset_rng_state": self.dataset.rng.bit_generator.state},
             suffix=suffix,
         )
 
@@ -230,6 +235,8 @@ class Trainer:
         )
         if cfg and "history" in cfg:
             self.history.update(cfg["history"])
+        if cfg and cfg.get("dataset_rng_state"):
+            self.dataset.rng.bit_generator.state = cfg["dataset_rng_state"]
 
     # -- main loop ----------------------------------------------------------
 
