@@ -168,10 +168,26 @@ class Trainer:
 
     # -- eval / save --------------------------------------------------------
 
-    def sample_fn(self, n: int, rng: jax.Array, use_ema: bool = True):
-        """Generate ``n`` images with fresh conditioning (for eval)."""
+    def _eval_variables(self, use_ema: bool = True):
+        """Eval-mode variables with spectral norm folded into the kernels
+        (io.deploy) — the power-iteration graph costs more than the convs at
+        small batches, and a 50k-image FID run amortizes one fold per test.
+        Cached per (step, use_ema)."""
+        from ic_gan_tpu.io.deploy import fold_spectral_norm
+
+        key = (int(self.state.step), use_ema)
+        cache = getattr(self, "_eval_var_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
         params = self.state.g_ema_params if use_ema else self.state.g_params
         g_state = self.state.g_ema_state if use_ema else self.state.g_state
+        variables = fold_spectral_norm({"params": params, **g_state})
+        self._eval_var_cache = (key, variables)
+        return variables
+
+    def sample_fn(self, n: int, rng: jax.Array, use_ema: bool = True):
+        """Generate ``n`` images with fresh conditioning (for eval)."""
+        variables = self._eval_variables(use_ema)
         if self.dataset.which_nn_balance == "instance_balance":
             labels, feats = self.dataset.sample_conditioning_instance_balance(n)
         else:
@@ -182,7 +198,7 @@ class Trainer:
             self.tcfg.z_var
         )
         imgs = self.g.apply(
-            {"params": params, **g_state},
+            variables,
             z,
             jnp.asarray(labels) if self.mcfg.class_cond else None,
             jnp.asarray(feats) if self.mcfg.instance_cond else None,

@@ -96,3 +96,22 @@ def test_ema_rampup_beta_small_early():
     for e, p in zip(jax.tree.leaves(new_state.g_ema_params),
                     jax.tree.leaves(new_state.g_params)):
         np.testing.assert_allclose(np.asarray(e), np.asarray(p), atol=1e-4)
+
+
+def test_sg2_step_sharded_over_mesh():
+    # Data-parallel SG2 training step on the 8-device virtual mesh.
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ic_gan_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    state, step, batch = build()
+    # Pad batch to 8 for even sharding.
+    batch = jax.tree.map(lambda a: jnp.concatenate([a, a], axis=0), batch)
+    mesh = make_mesh()
+    sh = NamedSharding(mesh, P("data"))
+    batch = jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["G_loss"]))
+    assert np.isfinite(float(metrics["D_loss"]))
