@@ -48,6 +48,8 @@ class SG2TrainConfig:
     ada_interval: int = 4
     ada_kimg: float = 500.0
     augment_p: float = 0.0  # initial p; adjusted when ada is on
+    freeze_d_layers: int = 0  # Freeze-D: first N discriminator layers
+                              # (highest resolution first; ref 'freezed')
 
     def _lazy(self, lr: float, interval: int):
         """Lazy-regularization lr/beta scaling (ref training_loop.py:332-340)."""
@@ -105,6 +107,36 @@ class SG2TrainState:
             ada_sign_sum=jnp.zeros(()),
             ada_count=jnp.zeros(()),
         )
+
+
+def freeze_d_mask(d_params, freeze_layers: int):
+    """Freeze-D gradient mask (True = trainable).
+
+    Layer ordering mirrors the reference's ``trainable_gen``
+    (``networks.py:819-830``): per resolution block, highest first —
+    fromrgb, conv0, conv1, skip — with the first ``freeze_layers`` frozen.
+    The 4×4 epilogue is always trainable (the reference never freezes it).
+    """
+    res_names = sorted(
+        (k for k in d_params if k.startswith("b") and k[1:].isdigit()
+         and k != "b4"),
+        key=lambda s: -int(s[1:]),
+    )
+    frozen = set()
+    idx = 0
+    for rn in res_names:
+        for layer in ("fromrgb", "conv0", "conv1", "skip"):
+            if layer in d_params[rn]:
+                if idx < freeze_layers:
+                    frozen.add((rn, layer))
+                idx += 1
+
+    def mask_tree(node, path=()):
+        if isinstance(node, dict):
+            return {k: mask_tree(v, path + (k,)) for k, v in node.items()}
+        return path[:2] not in frozen
+
+    return mask_tree(d_params)
 
 
 def make_sg2_train_step(
@@ -277,6 +309,11 @@ def make_sg2_train_step(
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
         )
+        if cfg.freeze_d_layers > 0:
+            mask = freeze_d_mask(state.d_params, cfg.freeze_d_layers)
+            d_grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g), d_grads, mask
+            )
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
                                              state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)

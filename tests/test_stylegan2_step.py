@@ -115,3 +115,37 @@ def test_sg2_step_sharded_over_mesh():
     new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["G_loss"]))
     assert np.isfinite(float(metrics["D_loss"]))
+
+
+def test_freeze_d_keeps_top_layers_fixed():
+    from ic_gan_tpu.train.stylegan2_step import freeze_d_mask
+
+    state, _, batch = build()
+    mask = freeze_d_mask(state.d_params, 2)
+    # Highest-resolution block (b16): fromrgb + conv0 frozen, conv1 trainable.
+    import jax as _jax
+
+    leaves_frozen = _jax.tree.leaves(mask["b16"]["fromrgb"]) + _jax.tree.leaves(
+        mask["b16"]["conv0"]
+    )
+    assert not any(leaves_frozen)
+    assert all(_jax.tree.leaves(mask["b16"]["conv1"]))
+    assert all(_jax.tree.leaves(mask["b8"]))
+    assert all(_jax.tree.leaves(mask["b4"]))
+
+    # A training step must not move frozen params.
+    tcfg = SG2TrainConfig(freeze_d_layers=2)
+    mcfg = sg2.StyleGAN2Config(
+        img_resolution=16, z_dim=8, c_dim=0, h_dim=12, w_dim=16,
+        channel_base=512, channel_max=32, num_fp16_res=0, conv_clamp=None,
+        num_mapping_layers=2, mbstd_group_size=2,
+    )
+    g, d = sg2.Generator(mcfg), sg2.Discriminator(mcfg)
+    step = jax.jit(make_sg2_train_step(g, d, tcfg, mcfg.z_dim, False, False))
+    new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+    before = np.asarray(jax.tree.leaves(state.d_params["b16"]["fromrgb"])[0])
+    after = np.asarray(jax.tree.leaves(new_state.d_params["b16"]["fromrgb"])[0])
+    np.testing.assert_array_equal(before, after)
+    c1_before = np.asarray(jax.tree.leaves(state.d_params["b16"]["conv1"])[0])
+    c1_after = np.asarray(jax.tree.leaves(new_state.d_params["b16"]["conv1"])[0])
+    assert not np.array_equal(c1_before, c1_after)
