@@ -69,6 +69,25 @@ def main(argv=None):
         )
         return np.asarray(imgs), labels if model_cfg.class_cond else None
 
+    stratified = None
+    samples_per_class = None
+    if cfg.get("stratified_moments", False):
+        # ImageNet-LT many/low/few-shot strata (ref test.py + inception_utils
+        # stratified path); needs the precomputed per-stratum moments and the
+        # samples-per-class table.
+        stratified = {}
+        for strat in ("many", "low", "few"):
+            path = os.path.join(
+                data_root,
+                moments_filename(cfg.get("resolution", 64), strat=strat),
+            )
+            if os.path.exists(path):
+                m = np.load(path)
+                stratified[strat] = (m["mu"], m["sigma"])
+        spc_path = cfg.get("samples_per_class_path", "")
+        if spc_path and os.path.exists(spc_path):
+            samples_per_class = np.load(spc_path, allow_pickle=True)
+
     prdc_ref = None
     if cfg.get("eval_prdc", False):
         # Reference features for PRDC from real data (ref test.py:82-91).
@@ -90,6 +109,8 @@ def main(argv=None):
         batch=cfg.get("eval_batch_size", 64),
         prdc_ref_features=prdc_ref,
         prdc_nearest_k=cfg.get("prdc_nearest_k", 5),
+        stratified=stratified,
+        samples_per_class=samples_per_class,
     )
     print({k: round(float(v), 4) for k, v in metrics.items()})
     out = cfg.get("metrics_out", "")

@@ -51,6 +51,11 @@ class TrainerConfig:
     deterministic_run: bool = True
     batch_size: int = 64          # per-microbatch (per accumulation)
     n_devices: Optional[int] = None
+    # Capture a jax.profiler trace of steps [profile_start, profile_start+3)
+    # into this directory (tensorboard-viewable) — the reference's
+    # record_function/CUDA-event instrumentation equivalent (SURVEY.md §5.1).
+    profile_dir: Optional[str] = None
+    profile_start: int = 10
 
 
 class Trainer:
@@ -254,6 +259,46 @@ class Trainer:
         if cfg and cfg.get("dataset_rng_state"):
             self.dataset.rng.bit_generator.state = cfg["dataset_rng_state"]
 
+    def _save_progress_sheet(self, n: int = 16):
+        """Fixed-seed sample grid per save — shows training evolution (ref
+        ``save_and_sample`` fixed_z sheets, ``train_fns.py:245-281``)."""
+        try:
+            from ic_gan_tpu.cli.inference import save_image_grid
+
+            fixed = getattr(self, "_fixed_cond", None)
+            if fixed is None:
+                if self.dataset.which_nn_balance == "instance_balance":
+                    labels, feats = (
+                        self.dataset.sample_conditioning_instance_balance(n)
+                    )
+                else:
+                    labels, feats = (
+                        self.dataset.sample_conditioning_nnclass_balance(
+                            n, num_classes=self.mcfg.n_classes
+                        )
+                    )
+                z = jax.random.normal(
+                    jax.random.PRNGKey(self.cfg.seed),
+                    (n, self.mcfg.effective_dim_z),
+                ) * np.sqrt(self.tcfg.z_var)
+                fixed = (z, labels, feats)
+                self._fixed_cond = fixed
+            z, labels, feats = fixed
+            imgs = self.g.apply(
+                self._eval_variables(use_ema=True),
+                z,
+                jnp.asarray(labels) if self.mcfg.class_cond else None,
+                jnp.asarray(feats) if self.mcfg.instance_cond else None,
+                train=False,
+            )
+            path = os.path.join(
+                self.cfg.logs_root, self.cfg.experiment_name,
+                f"fixed_samples_itr{self.history['itr']}.png",
+            )
+            save_image_grid(np.asarray(imgs), path, nrow=4)
+        except Exception as e:  # visualization must never kill training
+            print(f"progress sheet skipped ({e})")
+
     # -- main loop ----------------------------------------------------------
 
     def run(self, steps_per_epoch: Optional[int] = None):
@@ -268,12 +313,28 @@ class Trainer:
                 self.dataset.rng = np.random.default_rng(cfg.seed + epoch)
             t0 = time.time()
             for it in range(steps_per_epoch):
+                if (
+                    cfg.profile_dir
+                    and self.history["itr"] == cfg.profile_start
+                ):
+                    jax.profiler.start_trace(cfg.profile_dir)
                 batch = self.make_batch()
                 rng = jax.random.fold_in(
                     jax.random.PRNGKey(cfg.seed), self.history["itr"]
                 )
-                self.state, metrics = self.step_fn(self.state, batch, rng)
+                with jax.profiler.StepTraceAnnotation(
+                    "train_step", step_num=self.history["itr"]
+                ):
+                    self.state, metrics = self.step_fn(self.state, batch, rng)
                 self.history["itr"] += 1
+                if (
+                    cfg.profile_dir
+                    and self.history["itr"] == cfg.profile_start + 3
+                ):
+                    jax.tree.map(
+                        lambda x: x.block_until_ready(), self.state.g_params
+                    )
+                    jax.profiler.stop_trace()
                 if self.history["itr"] % 100 == 0:
                     self.train_log.log(
                         itr=self.history["itr"],
@@ -294,6 +355,7 @@ class Trainer:
                     self.history["save_num"] = (
                         self.history["save_num"] + 1
                     ) % cfg.num_save_copies
+                self._save_progress_sheet()
             if (epoch + 1) % cfg.test_every == 0:
                 m = self.test()
                 if m is not None:
