@@ -305,6 +305,49 @@ def load_deep_discriminator_variables(torch_sd: Dict[str, np.ndarray], cfg):
     return _build_variables(deep_discriminator_key_map(cfg), torch_sd)
 
 
+def _inv_linear(w):
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _inv_conv(w):
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (3, 2, 0, 1)))
+
+
+_INVERSES = {}  # populated below once the forward transforms exist
+
+
+def export_generator_state_dict(variables, cfg: BigGANConfig,
+                                deep: bool = False) -> Dict[str, np.ndarray]:
+    """Inverse conversion: Flax variables → reference torch ``state_dict``
+    layout (numpy values), so models trained here can be consumed by the
+    reference tooling.  Round-trip safe with ``load_generator_variables``."""
+    key_map = (
+        deep_generator_key_map(cfg) if deep else generator_key_map(cfg)
+    )
+    return _export(variables, key_map)
+
+
+def export_discriminator_state_dict(variables, cfg: BigGANConfig,
+                                    deep: bool = False) -> Dict[str, np.ndarray]:
+    key_map = (
+        deep_discriminator_key_map(cfg) if deep else discriminator_key_map(cfg)
+    )
+    return _export(variables, key_map)
+
+
+def _export(variables, key_map) -> Dict[str, np.ndarray]:
+    from flax.traverse_util import flatten_dict
+
+    inverses = {_t_linear: _inv_linear, _t_conv: _inv_conv, _ident: _ident}
+    flat = flatten_dict(variables)
+    out = {}
+    for path, (tkey, transform) in key_map.items():
+        if path not in flat:
+            raise KeyError(f"variables missing {'/'.join(path)}")
+        out[tkey] = np.asarray(inverses[transform](flat[path]))
+    return out
+
+
 def config_from_state_dict(state_dict_config: Dict[str, Any]) -> BigGANConfig:
     """Resurrect a model config from the reference's saved ``state_dict``
     config blob, mirroring ``inference/utils.py:311-368``."""

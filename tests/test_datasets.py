@@ -135,3 +135,24 @@ def test_compute_nns_on_the_fly(hdf5_dir):
     ds = make_ds(hdf5_dir, compute_nns=True)
     assert ds.sample_nns.shape[1] == K + 1
     assert (ds.sample_nns[:, 0] == np.arange(N)).all()
+
+
+def test_sample_batch_conditioning_invariant(hdf5_dir):
+    # Invariant from the reference semantics (_get_instance_features_and_nn):
+    # the returned features belong to an instance whose neighbour list
+    # contains the returned image's index.
+    ds = make_ds(hdf5_dir)
+    for _ in range(5):
+        b = ds.sample_batch(8)
+        for i in range(8):
+            # Match feature row back to the bank (rows are unique).
+            dists = np.linalg.norm(ds.feats - b.features[i], axis=1)
+            idx_h = int(np.argmin(dists))
+            assert dists[idx_h] < 1e-5
+            # Find the image index by pixel match against candidates.
+            nns = ds.sample_nns[idx_h]
+            imgs = ds._norm(ds._get_images(nns))
+            diffs = np.abs(imgs - b.images[i]).reshape(len(nns), -1).max(1)
+            assert diffs.min() < 1e-5  # image is one of idx_h's neighbours
+            # And the radius matches that instance.
+            assert abs(b.radii[i] - ds.sample_nn_radius[idx_h]) < 1e-5

@@ -174,3 +174,57 @@ def test_generator_class_and_instance_parity():
     )
     ours = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(ours, ref_out, atol=2e-4, rtol=1e-3)
+
+
+def test_export_roundtrip():
+    """Flax → torch state_dict → Flax round-trips exactly, and the exported
+    dict loads into the reference torch module."""
+    from ic_gan_tpu.io.torch_import import (
+        export_generator_state_dict,
+        load_generator_variables,
+    )
+    from flax.traverse_util import flatten_dict
+
+    cfg = make_cfg(32, "0")
+    g = Generator(cfg)
+    rng = np.random.RandomState(7)
+    z = jnp.asarray(rng.randn(1, cfg.effective_dim_z).astype(np.float32))
+    feats = jnp.asarray(rng.randn(1, 2048).astype(np.float32))
+    import jax
+
+    variables = g.init(jax.random.PRNGKey(0), z, None, feats, train=False)
+
+    sd = export_generator_state_dict(variables, cfg)
+    back = load_generator_variables(sd, cfg)
+    a, b = flatten_dict(variables), flatten_dict(back)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=str(k))
+
+    # The exported dict must load into the actual reference module.
+    ref = _ref_biggan()
+    tg = ref.Generator(**ref_kwargs(cfg))
+    missing, unexpected = tg.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    # Only sv-logging buffers, BN counters, and the reference's unused class
+    # embedding (instantiated even when class_cond=False, BigGAN.py:230-234)
+    # may be absent from our export.
+    assert all(
+        "sv" in m or "counter" in m or "num_batches" in m
+        or m == "shared.weight"
+        for m in missing
+    ), missing
+
+    # And the reference module with our exported weights matches our forward.
+    tg.eval()
+    with torch.no_grad():
+        ref_out = tg(torch.from_numpy(np.asarray(z)), None,
+                     torch.from_numpy(np.asarray(feats))).numpy()
+    ours = g.apply(variables, z, None, feats, train=False)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref_out, atol=2e-4,
+        rtol=1e-3,
+    )
