@@ -33,6 +33,21 @@ PYTORCH_EAGER_UTILIZATION = 0.35
 
 
 def main():
+    # Persistent compile cache: the relay-based TPU compile of the res256
+    # graph can take minutes cold; cached runs start in seconds.
+    import os
+
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "ic_gan_tpu", "xla_cache",
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
     from ic_gan_tpu.models.biggan import BigGANConfig, Generator
     from __graft_entry__ import _fast_variables
 
