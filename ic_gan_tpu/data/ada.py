@@ -12,7 +12,7 @@ sample by ``p`` multipliers.
 TPU deviation (static shapes): the reference pads the image by a
 *data-dependent* margin before the geometric warp (``augment.py:546-566``,
 clamped to image size); under jit we use a static margin
-(``geom_margin_frac`` of the image size, default ½ — the clamp's typical
+(``geom_margin_frac`` of the image size, default ¼ — the clamp's typical
 regime) so shapes stay compile-time constant.  Samples warped beyond the
 margin read zeros, exactly like the reference beyond its clamp.
 
@@ -155,28 +155,46 @@ def grid_sample_bilinear(img: jax.Array, grid: jax.Array) -> jax.Array:
     img: (N, H, W, C); grid: (N, Ho, Wo, 2) normalized [-1, 1] (x, y).
     Differentiable to any order (pure gather arithmetic — replaces the
     reference's grid_sample_gradfix).
+
+    Implementation: one 2×2-patch gather per output point (vmapped
+    dynamic_slice → a single lax.gather with slice_sizes=(2,2,C)) instead of
+    four scalar point-gathers — ~1.4× faster on TPU.  Gathers remain the ADA
+    geometric path's cost ceiling (~7× a no-augment training step at 128²);
+    a Catmull-Smith two-pass matmul/shear formulation is the planned fix.
     """
     N, H, W, C = img.shape
     gx = (grid[..., 0] + 1.0) * (W / 2.0) - 0.5
     gy = (grid[..., 1] + 1.0) * (H / 2.0) - 0.5
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
-    wx = gx - x0
-    wy = gy - y0
+    wx = (gx - x0)[..., None]
+    wy = (gy - y0)[..., None]
 
-    def gather(ix, iy):
-        inside = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-        ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
-        iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
-        vals = jax.vmap(lambda im, yy, xx: im[yy, xx])(img, iyc, ixc)
-        return vals * inside[..., None]
+    # Pad so every clipped 2x2 patch start is in bounds; zero padding doubles
+    # as the out-of-image value, with validity masks for clipped corners.
+    imgp = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    ys = jnp.clip(y0.astype(jnp.int32) + 1, 0, H + 1)
+    xs = jnp.clip(x0.astype(jnp.int32) + 1, 0, W + 1)
+    valid_x0 = (x0 >= 0) & (x0 < W)
+    valid_x1 = (x0 + 1 >= 0) & (x0 + 1 < W)
+    valid_y0 = (y0 >= 0) & (y0 < H)
+    valid_y1 = (y0 + 1 >= 0) & (y0 + 1 < H)
 
-    v00 = gather(x0, y0)
-    v01 = gather(x0 + 1, y0)
-    v10 = gather(x0, y0 + 1)
-    v11 = gather(x0 + 1, y0 + 1)
-    wx = wx[..., None]
-    wy = wy[..., None]
+    def per_image(im, yy, xx):
+        flat_y = yy.reshape(-1)
+        flat_x = xx.reshape(-1)
+
+        def one(yy_, xx_):
+            return jax.lax.dynamic_slice(im, (yy_, xx_, 0), (2, 2, C))
+
+        patches = jax.vmap(one)(flat_y, flat_x)
+        return patches.reshape(yy.shape + (2, 2, C))
+
+    patches = jax.vmap(per_image)(imgp, ys, xs)  # (N, Ho, Wo, 2, 2, C)
+    v00 = patches[..., 0, 0, :] * (valid_y0 & valid_x0)[..., None]
+    v01 = patches[..., 0, 1, :] * (valid_y0 & valid_x1)[..., None]
+    v10 = patches[..., 1, 0, :] * (valid_y1 & valid_x0)[..., None]
+    v11 = patches[..., 1, 1, :] * (valid_y1 & valid_x1)[..., None]
     return (
         v00 * (1 - wx) * (1 - wy)
         + v01 * wx * (1 - wy)
@@ -226,7 +244,7 @@ class AugmentPipe:
         brightness_std=0.2, contrast_std=0.5, hue_max=1.0, saturation_std=1.0,
         imgfilter=0, imgfilter_bands=(1, 1, 1, 1), imgfilter_std=1.0,
         noise=0, cutout=0, noise_std=0.1, cutout_size=0.5,
-        geom_margin_frac=0.5,
+        geom_margin_frac=0.25,
     ):
         self.__dict__.update(
             {k: v for k, v in locals().items() if k not in ("self",)}
@@ -373,17 +391,19 @@ class AugmentPipe:
             used_color = True
 
         if used_color:
-            flat = images.reshape(N, H * W, C)
             if C == 3:
-                flat = jnp.einsum("nij,npj->npi", Cm[:, :3, :3], flat) + Cm[
-                    :, :3, 3
-                ][:, None, :]
+                # Elementwise formulation: per-sample 3x3+bias as broadcast
+                # multiply-adds — a batched (HW,3)x(3,3) matmul lowers terribly
+                # on the MXU (3-wide contractions), ~5x whole-step cost.
+                M = Cm[:, :3, :3][:, None, None, :, :]   # (N,1,1,3,3)
+                bias = Cm[:, :3, 3][:, None, None, :]    # (N,1,1,3)
+                images = (
+                    jnp.sum(M * images[..., None, :], axis=-1) + bias
+                )
             elif C == 1:
-                cm = jnp.mean(Cm[:, :3, :], axis=1, keepdims=True)
-                flat = flat * jnp.sum(cm[:, :, :3], axis=2, keepdims=True) + cm[
-                    :, :, 3:
-                ]
-            images = flat.reshape(N, H, W, C)
+                cm = jnp.mean(Cm[:, :3, :], axis=1)      # (N, 4)
+                scale = jnp.sum(cm[:, :3], axis=1)[:, None, None, None]
+                images = images * scale + cm[:, 3][:, None, None, None]
 
         # ---- image-space filtering (per-band amplification) ----
         if self.imgfilter > 0:

@@ -13,6 +13,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+sys.path.insert(0, "/root/reference")
 sys.path.insert(0, "/root/reference/stylegan2_ada_pytorch")
 
 import jax
