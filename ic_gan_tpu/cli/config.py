@@ -30,6 +30,32 @@ def split_config(cfg: Dict[str, Any]) -> Tuple[BigGANConfig, TrainConfig, Traine
     """
     g = cfg.get
 
+    if g("model", "BigGAN") == "BigGANdeep":
+        # Deep backbone selection, reference trainer.py:122
+        # (__import__(config["model"])).
+        from ic_gan_tpu.models.biggan_deep import BigGANDeepConfig
+
+        model = BigGANDeepConfig(
+            resolution=g("resolution", 64),
+            n_classes=g("n_classes", 1000),
+            G_ch=g("G_ch", 64),
+            D_ch=g("D_ch", 64),
+            dim_z=g("dim_z", 128),
+            G_depth=g("G_depth", 2),
+            D_depth=g("D_depth", 2),
+            G_attn=str(g("G_attn", "64")),
+            D_attn=str(g("D_attn", "64")),
+            G_shared=g("G_shared", True),
+            shared_dim=g("shared_dim", 128),
+            hier=g("hier", True),
+            class_cond=g("class_cond", True),
+            instance_cond=g("instance_cond", False),
+            G_shared_feat=g("G_shared_feat", True),
+            shared_dim_feat=g("shared_dim_feat", 2048),
+            dtype=jnp.bfloat16 if g("bf16", False) else jnp.float32,
+        )
+        return (model,) + _split_train_and_data(cfg)
+
     model = BigGANConfig(
         resolution=g("resolution", 64),
         n_classes=g("n_classes", 1000),
@@ -48,6 +74,11 @@ def split_config(cfg: Dict[str, Any]) -> Tuple[BigGANConfig, TrainConfig, Traine
         shared_dim_feat=g("shared_dim_feat", 512),
         dtype=jnp.bfloat16 if g("bf16", False) else jnp.float32,
     )
+    return (model,) + _split_train_and_data(cfg)
+
+
+def _split_train_and_data(cfg: Dict[str, Any]):
+    g = cfg.get
     train = TrainConfig(
         num_D_steps=g("num_D_steps", 1),
         num_D_accumulations=g("num_D_accumulations", 1),
@@ -102,7 +133,7 @@ def split_config(cfg: Dict[str, Any]) -> Tuple[BigGANConfig, TrainConfig, Traine
         hflip=g("hflips", False),
         load_in_mem_feats=g("load_in_mem_feats", True),
     )
-    return model, train, trainer, data_kwargs
+    return train, trainer, data_kwargs
 
 
 def parse_args(argv=None) -> Dict[str, Any]:

@@ -77,8 +77,18 @@ class Trainer:
         self.eval_fn = eval_fn
         self.sampling_weights = sampling_weights
 
-        self.g = Generator(model_cfg)
-        self.d = Discriminator(model_cfg)
+        from ic_gan_tpu.models.biggan_deep import (
+            BigGANDeepConfig,
+            Discriminator as DeepDiscriminator,
+            Generator as DeepGenerator,
+        )
+
+        if isinstance(model_cfg, BigGANDeepConfig):
+            self.g = DeepGenerator(model_cfg)
+            self.d = DeepDiscriminator(model_cfg)
+        else:
+            self.g = Generator(model_cfg)
+            self.d = Discriminator(model_cfg)
         self.mesh = make_mesh(
             trainer_cfg.n_devices, batch_size=trainer_cfg.batch_size
         )

@@ -121,3 +121,22 @@ def test_cli_config_split_accepts_reference_json():
     assert trainer.experiment_name == "icgan_biggan_imagenet_res64"
     assert data["k_nn"] == 50
     assert data["feature_extractor"] == "selfsupervised"
+
+
+def test_trainer_with_deep_backbone(tiny_env):
+    ds, _, tcfg, trcfg, tmp = tiny_env
+    from ic_gan_tpu.cli.config import split_config
+
+    mcfg, _, _, _ = split_config({
+        "model": "BigGANdeep", "resolution": 32, "n_classes": 4,
+        "G_ch": 4, "D_ch": 4, "dim_z": 8, "G_attn": "0", "D_attn": "0",
+        "shared_dim": 8, "class_cond": False, "instance_cond": True,
+        "shared_dim_feat": 8,
+    })
+    mcfg = mcfg.replace(instance_sz=16)
+    import dataclasses
+
+    trcfg = dataclasses.replace(trcfg, experiment_name="deep")
+    tr = Trainer(mcfg, tcfg, trcfg, ds)
+    tr.run(steps_per_epoch=1)
+    assert tr.history["itr"] == 1
