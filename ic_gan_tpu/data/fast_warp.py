@@ -1,0 +1,129 @@
+"""Gather-free affine image warp for TPU (Catmull-Smith two-pass).
+
+TPU gathers make the classic grid-sample bilinear warp the dominant cost of
+ADA's geometric augmentations (~7× a full training step).  This module
+implements the same per-sample inverse-affine warp as a composition of
+gather-free primitives:
+
+  1. axis swap (per-sample transpose select) when the affine is closer to a
+     90° rotation, so the vertical scale coefficient stays well-conditioned;
+  2. pass 1 (vertical):  per-column fractional shift — two contiguous
+     ``dynamic_slice`` reads + lerp, executed on the transposed image so the
+     shifts run along rows — followed by a per-sample 1-D scale resample as a
+     batched (L_out × L_in) matmul on the MXU;
+  3. pass 2 (horizontal): same along the other axis.
+
+Derivation: with inverse map ``[gx; gy] = A·[xo; yo] + t``,
+``out[yo,xo] = img[gy, gx]`` factors into
+``T[yt, x] = img[α·yt + ε·x + ζ, x]`` then ``out[yo, xo] = T[yo, a·xo +
+b·yo + tx]`` with ``ε = c/a``, ``α = d − cb/a``, ``ζ = ty − ε·tx`` (rows of
+``A = [[a, b], [c, d]]``); the axis swap keeps ``|a|`` the larger of
+``|a|, |c|``.
+
+Numerics: composition of three linear interpolations instead of one bilinear
+sample — identical for integer blits and pure axis scalings, and within
+second-order interpolation error for rotations (slightly *more* low-pass;
+interior mean deviation ~0.4% on 2σ-smoothed noise).
+
+**Status / measured performance** (v5e, 32×384²×3): ~142 ms vs ~141 ms for
+the gather grid-sample — no win yet.  The per-row ``vmap(dynamic_slice)``
+shear pass lowers to a gather whose cost matches the per-pixel gather on
+this backend, i.e. gather *granularity* doesn't matter here; only removing
+the gather entirely (per-row shifts as Pallas DMAs) would help.  Kept as
+validated infrastructure; ADA continues to use the exact gather path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _frac_shift_rows(x: jax.Array, off: jax.Array) -> jax.Array:
+    """Shift each row of ``x`` (N, R, L, C) along L by ``off`` (N, R) pixels
+    with linear interpolation; out[l] = x[l + off], zero outside."""
+    N, R, L, C = x.shape
+    k = jnp.floor(off).astype(jnp.int32)
+    f = (off - k)[..., None, None]
+    kc = jnp.clip(k, -L, L)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (L, L + 1), (0, 0)))
+
+    def per_row(row, kk):
+        s0 = jax.lax.dynamic_slice(row, (L + kk, 0), (L, C))
+        s1 = jax.lax.dynamic_slice(row, (L + kk + 1, 0), (L, C))
+        return s0, s1
+
+    s0, s1 = jax.vmap(jax.vmap(per_row))(xp, kc)
+    out = s0 * (1.0 - f) + s1 * f
+    # Rows whose true shift exceeded the clamp are fully out of frame.
+    return out * (jnp.abs(k) <= L)[..., None, None]
+
+
+def _scale_rows_matmul(x: jax.Array, alpha: jax.Array, r0: jax.Array,
+                       l_out: int) -> jax.Array:
+    """Per-sample 1-D linear resample along L via an MXU matmul:
+    out[lo] = x[α·lo + r0] (linear interp, zero outside).
+
+    x: (N, R, L, C); alpha/r0: (N,).  Returns (N, R, l_out, C).
+    """
+    N, R, L, C = x.shape
+    lo = jnp.arange(l_out, dtype=jnp.float32)
+    li = jnp.arange(L, dtype=jnp.float32)
+    pos = alpha[:, None] * lo[None, :] + r0[:, None]          # (N, Lo)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, :, None] - li[None, None, :]))
+    # Batched (Lo × L) @ (L × R·C) matmul with R·C as the minor/lane dim —
+    # einsum'ing straight into (..., C) would leave C=3 on the lanes and
+    # starve the MXU.
+    x2 = jnp.transpose(x, (0, 2, 1, 3)).reshape(N, L, R * C)
+    y = jnp.einsum("nol,nlm->nom", w, x2.astype(jnp.float32))  # (N, Lo, R·C)
+    y = y.reshape(N, l_out, R, C)
+    return jnp.transpose(y, (0, 2, 1, 3)).astype(x.dtype)
+
+
+def affine_warp(img: jax.Array, A: jax.Array, t: jax.Array) -> jax.Array:
+    """Warp ``img`` (N, H, W, C) by the per-sample inverse affine
+    ``src_px = A @ dst_px + t`` (pixel coordinates), H == W required
+    (ADA warps padded square images).  Output has the same shape.
+    """
+    N, H, W, C = img.shape
+    assert H == W, "fast_warp requires square images (ADA pads to square)"
+    a, b = A[:, 0, 0], A[:, 0, 1]
+    c, d = A[:, 1, 0], A[:, 1, 1]
+    tx, ty = t[:, 0], t[:, 1]
+
+    # Axis swap when the map is closer to a 90° rotation: sample the
+    # transposed image with swapped A rows/cols.
+    swap = jnp.abs(a) < jnp.abs(c)
+    imgT = jnp.swapaxes(img, 1, 2)
+    img_sel = jnp.where(swap[:, None, None, None], imgT, img)
+    a_, b_ = jnp.where(swap, c, a), jnp.where(swap, d, b)
+    c_, d_ = jnp.where(swap, a, c), jnp.where(swap, b, d)
+    tx_, ty_ = jnp.where(swap, ty, tx), jnp.where(swap, tx, ty)
+
+    eps = 1e-8
+    a_safe = jnp.where(jnp.abs(a_) < eps, eps, a_)
+    e = c_ / a_safe
+    alpha = d_ - e * b_
+    alpha_safe = jnp.where(jnp.abs(alpha) < eps, eps, alpha)
+    zeta = ty_ - e * tx_
+
+    L = H
+    EXT = 2 * L  # extended intermediate window covering [-L/2, 3L/2)
+
+    # ---- pass 1 (vertical): T[yt, x] = img[α·yt + ε·x + ζ, x] ----
+    # Scale-matmul FIRST (it sees the whole source axis — no window loss even
+    # for negative α / large offsets), then the per-column shear shift.
+    xT = jnp.swapaxes(img_sel, 1, 2)                      # (N, W=x, H=y, C)
+    # S[j, x] = img[α·(j − L/2) + ζ, x] over the extended window.
+    S = _scale_rows_matmul(xT, alpha, zeta - alpha * (L / 2.0), EXT)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    off1 = L / 2.0 + (e / alpha_safe)[:, None] * xs[None, :]  # (N, W)
+    T = _frac_shift_rows(S, off1)[:, :, :L]               # (N, x, yt, C)
+    T = jnp.swapaxes(T, 1, 2)                             # (N, yt, x, C)
+
+    # ---- pass 2 (horizontal): out[yo, xo] = T[yo, a·xo + b·yo + tx] ----
+    U = _scale_rows_matmul(T, a_, tx_ - a_ * (L / 2.0), EXT)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    off2 = L / 2.0 + (b_ / a_safe)[:, None] * ys[None, :]  # (N, H)
+    out = _frac_shift_rows(U, off2)[:, :, :L]
+    return out
