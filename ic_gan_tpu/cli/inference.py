@@ -31,20 +31,30 @@ def load_model_inference(cfg: Dict[str, Any]):
     """
     backbone = cfg.get("backbone", "biggan")
     if backbone == "biggan":
-        from ic_gan_tpu.models.biggan import BigGANConfig, Generator
         from ic_gan_tpu.cli.config import split_config
+        from ic_gan_tpu.models.biggan_deep import (
+            BigGANDeepConfig,
+            Generator as DeepGenerator,
+        )
+        from ic_gan_tpu.models.biggan import Generator
 
         model_cfg, _, _, _ = split_config(cfg)
-        g = Generator(model_cfg)
+        deep = isinstance(model_cfg, BigGANDeepConfig)
+        g = DeepGenerator(model_cfg) if deep else Generator(model_cfg)
         if cfg.get("pth_dir"):
             from ic_gan_tpu.io.torch_import import (
+                load_deep_generator_variables,
                 load_generator_variables,
                 load_pth_bundle,
             )
 
             which = cfg.get("which_model", "G_ema")
             sd = load_pth_bundle(cfg["pth_dir"], which, cfg.get("suffix", ""))
-            variables = load_generator_variables(sd, model_cfg)
+            variables = (
+                load_deep_generator_variables(sd, model_cfg)
+                if deep
+                else load_generator_variables(sd, model_cfg)
+            )
         else:
             from ic_gan_tpu.io.checkpoint import (
                 find_best_checkpoint,
@@ -68,10 +78,14 @@ def load_model_inference(cfg: Dict[str, Any]):
                 best, _ = find_best_checkpoint(root, name)
                 suffix = os.path.basename(best)[len(name) + 1:] if best else ""
             from ic_gan_tpu.models.biggan import Discriminator
+            from ic_gan_tpu.models.biggan_deep import (
+                Discriminator as DeepDiscriminator,
+            )
             from ic_gan_tpu.train.step import TrainConfig
 
             tcfg = TrainConfig()
-            d_vars = Discriminator(model_cfg).init(
+            d_cls = DeepDiscriminator if deep else Discriminator
+            d_vars = d_cls(model_cfg).init(
                 rng, jnp.zeros((1, model_cfg.resolution, model_cfg.resolution, 3)),
                 label, feats,
             )
