@@ -147,6 +147,36 @@ class InceptionE(nn.Module):
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
+def _align_corners_matrix(out_size: int, in_size: int) -> jnp.ndarray:
+    """[out, in] bilinear interpolation matrix with align_corners=True
+    semantics: output pixel i samples input coordinate i·(in−1)/(out−1)."""
+    if in_size == 1 or out_size == 1:
+        return jnp.full((out_size, in_size), 1.0 / in_size)
+    coords = jnp.arange(out_size, dtype=jnp.float32) * (
+        (in_size - 1) / (out_size - 1)
+    )
+    lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, in_size - 2)
+    frac = coords - lo
+    rows = jnp.arange(out_size)
+    m = jnp.zeros((out_size, in_size), jnp.float32)
+    m = m.at[rows, lo].add(1.0 - frac)
+    m = m.at[rows, lo + 1].add(frac)
+    return m
+
+
+def resize_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int):
+    """NHWC bilinear resize matching torch ``F.interpolate(...,
+    mode='bilinear', align_corners=True)`` (ref inception_utils.py:59).
+
+    Separable [out,in] matmuls rather than a gather — rides the MXU and is
+    exactly the corner-aligned sample grid torchvision's FID wrapper uses
+    (jax.image.resize only offers the half-pixel convention)."""
+    mh = _align_corners_matrix(out_h, x.shape[1]).astype(x.dtype)
+    mw = _align_corners_matrix(out_w, x.shape[2]).astype(x.dtype)
+    x = jnp.einsum("oh,nhwc->nowc", mh, x)
+    return jnp.einsum("pw,nowc->nopc", mw, x)
+
+
 class InceptionV3(nn.Module):
     """Returns ``(pool, logits)`` like the reference wrapper
     (``inception_utils.py:87-102``).
@@ -166,9 +196,9 @@ class InceptionV3(nn.Module):
         x = (x + 1.0) / 2.0
         x = (x - mean) / std
         if self.resize_input and (x.shape[1] != 299 or x.shape[2] != 299):
-            x = jax.image.resize(
-                x, (x.shape[0], 299, 299, x.shape[3]), method="bilinear"
-            )
+            # align_corners=True to match the reference WrapInception resize
+            # (inception_utils.py:59) — FID features depend on this grid.
+            x = resize_bilinear_align_corners(x, 299, 299)
         x = BasicConv2d(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = BasicConv2d(64, (3, 3), padding=1, name="Conv2d_2b_3x3")(x)

@@ -132,7 +132,8 @@ PyObject* normalize_batch(PyObject*, PyObject* args) {
     return nullptr;
   }
   if (src.len < (Py_ssize_t)(B * C * H * W) ||
-      dst.len < (Py_ssize_t)(B * C * H * W * (long)sizeof(float))) {
+      dst.len < (Py_ssize_t)(B * C * H * W * (long)sizeof(float)) ||
+      (has_flip && flip.len < (Py_ssize_t)B)) {
     PyErr_SetString(PyExc_ValueError, "buffer sizes do not match B*C*H*W");
     PyBuffer_Release(&src);
     PyBuffer_Release(&dst);

@@ -82,7 +82,10 @@ def path_length_penalty(g_apply, variables, z, *cond, rng=None, pl_mean=0.0,
         return jnp.sum(g_apply(variables, zz, *cond) * noise)
 
     grads = jax.grad(dot_out)(z)
-    lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(grads), axis=-1)))
+    # Per-sample path lengths (ref loss.py:130-133: pl_lengths is [N], the
+    # penalty is the mean of per-sample squared deviations — collapsing to a
+    # scalar before penalizing would weaken the regularizer).
+    lengths = jnp.sqrt(jnp.sum(jnp.square(grads), axis=-1))
     new_mean = pl_mean + decay * (jnp.mean(lengths) - pl_mean)
     penalty = jnp.mean(jnp.square(lengths - new_mean))
     return penalty, new_mean, lengths

@@ -370,7 +370,9 @@ def ada_update(state: SG2TrainState, cfg: SG2TrainConfig, batch_size: int):
         * (batch_size * cfg.ada_interval)
         / (cfg.ada_kimg * 1000.0)
     )
-    new_p = jnp.clip(state.ada_p + adjust, 0.0, 1.0)
+    # Lower-clamp only: the reference controller lets p exceed 1 in the
+    # saturated regime (training_loop.py:551 `(p + adjust).max(constant(0))`).
+    new_p = jnp.maximum(state.ada_p + adjust, 0.0)
     return state.replace(
         ada_p=new_p,
         ada_sign_sum=jnp.zeros(()),

@@ -118,17 +118,19 @@ class SG2Trainer:
     def make_batch(self):
         b = self.dataset.sample_batch(self.cfg.batch_size)
         batch = {"x": jnp.asarray(b.images)}
-        if self.mcfg.h_dim:
-            batch["h"] = jnp.asarray(b.features)
-            _, gen_h = self.dataset.sample_conditioning_instance_balance(
+        # One joint instance draw: the generator's (label, feature) pairs must
+        # come from the SAME instance (ref training_loop.py:448-455 samples
+        # both from one dataset index), not two decoupled draws.
+        gen_label = gen_h = None
+        if self.mcfg.h_dim or self.mcfg.c_dim:
+            gen_label, gen_h = self.dataset.sample_conditioning_instance_balance(
                 self.cfg.batch_size
             )
+        if self.mcfg.h_dim:
+            batch["h"] = jnp.asarray(b.features)
             batch["gen_h"] = jnp.asarray(gen_h)
         if self.mcfg.c_dim:
             batch["c"] = jnp.asarray(b.labels)
-            gen_label, _ = self.dataset.sample_conditioning_instance_balance(
-                self.cfg.batch_size
-            )
             batch["gen_c"] = jnp.asarray(gen_label)
         return batch
 

@@ -111,3 +111,23 @@ def test_evaluate_generator_self_fid_near_zero():
     assert np.isfinite(out["FID"])
     assert out["FID"] < 60.0  # same distribution, small-sample noise only
     assert out["IS_mean"] > 0.0
+
+
+def test_resize_align_corners_matches_torch():
+    """resize_bilinear_align_corners == F.interpolate(align_corners=True)
+    (the grid the reference WrapInception uses, inception_utils.py:59)."""
+    import torch
+    import torch.nn.functional as F
+
+    from ic_gan_tpu.models.inception import resize_bilinear_align_corners
+
+    rng = np.random.RandomState(3)
+    for in_hw, out_hw in [((64, 64), (299, 299)), ((128, 96), (299, 299)),
+                          ((300, 300), (299, 299)), ((17, 33), (8, 50))]:
+        x = rng.randn(2, *in_hw, 3).astype(np.float32)
+        want = F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw,
+            mode="bilinear", align_corners=True,
+        ).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), *out_hw))
+        np.testing.assert_allclose(got, want, atol=2e-5)
