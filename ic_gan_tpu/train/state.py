@@ -63,3 +63,22 @@ def ema_update(ema_params, params, decay):
     ``ema_start`` (ref ``utils.py:1039-1067``: copies source until start itr).
     ``decay`` may be a traced scalar."""
     return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema_params, params)
+
+
+def scrub_grads(grads):
+    """Replace NaN/±Inf gradient entries before the optimizer update
+    (reference ``training_loop.py:517-521``: ``nan_to_num(grad, nan=0,
+    posinf=1e5, neginf=-1e5)``). One bad bf16 microbatch must not poison
+    Adam moments and the EMA irrecoverably.
+
+    Returns ``(clean_grads, nonfinite_count)`` where the count is a scalar
+    metric (0 on healthy steps) cheap enough to log every step.
+    """
+    leaves = jax.tree.leaves(grads)
+    nonfinite = sum(
+        jnp.sum(~jnp.isfinite(g)).astype(jnp.float32) for g in leaves
+    )
+    clean = jax.tree.map(
+        lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads
+    )
+    return clean, nonfinite

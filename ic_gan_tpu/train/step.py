@@ -31,7 +31,12 @@ import optax
 
 from ic_gan_tpu.data.augment import diff_augment
 from ic_gan_tpu.train import losses as losses_lib
-from ic_gan_tpu.train.state import GANTrainState, ema_update, make_optimizer
+from ic_gan_tpu.train.state import (
+    GANTrainState,
+    ema_update,
+    make_optimizer,
+    scrub_grads,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -198,10 +203,12 @@ def make_train_step(
                 grads = jax.tree.map(
                     jnp.add, grads, ortho_grad_term(d_params, cfg.D_ortho)
                 )
+            grads, d_nonfinite = scrub_grads(grads)
             updates, d_opt_state = d_tx.update(grads, d_opt_state, d_params)
             d_params = optax.apply_updates(d_params, updates)
             metrics["D_loss_real"] = jnp.mean(lr_hist)
             metrics["D_loss_fake"] = jnp.mean(lf_hist)
+            metrics["D_grad_nonfinite"] = d_nonfinite
 
         # ---- G phase ----
         def g_scan(carry, inp):
@@ -234,6 +241,8 @@ def make_train_step(
                 g_grads,
                 ortho_grad_term(g_params, cfg.G_ortho, blacklist_paths=("shared",)),
             )
+        g_grads, g_nonfinite = scrub_grads(g_grads)
+        metrics["G_grad_nonfinite"] = g_nonfinite
         updates, g_opt_state = g_tx.update(g_grads, g_opt_state, g_params)
         g_params = optax.apply_updates(g_params, updates)
 

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from ic_gan_tpu.train.state import scrub_grads
+
 
 @dataclasses.dataclass(frozen=True)
 class SG2TrainConfig:
@@ -266,10 +268,13 @@ def make_sg2_train_step(
         (_, (g_aux, g_state, new_pl_mean)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
         )(state.g_params)
+        # NaN/Inf scrub before the update (ref training_loop.py:517-521).
+        g_grads, g_nonfinite = scrub_grads(g_grads)
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                              state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
         metrics.update(g_aux)
+        metrics["G_grad_nonfinite"] = g_nonfinite
 
         # ---- D phase: Dmain (+ Dr1 when do_r1) ----
         z_d = jax.random.normal(rngs[6], (N, z_dim))
@@ -314,10 +319,12 @@ def make_sg2_train_step(
             d_grads = jax.tree.map(
                 lambda g, m: g if m else jnp.zeros_like(g), d_grads, mask
             )
+        d_grads, d_nonfinite = scrub_grads(d_grads)
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
                                              state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
         metrics.update(d_aux)
+        metrics["D_grad_nonfinite"] = d_nonfinite
 
         # ---- EMA with ramp-up (ref training_loop.py:527-535) ----
         cur_nimg = state.cur_nimg + N

@@ -141,3 +141,26 @@ def test_ema_gate_before_start():
         jax.tree.leaves(new_state.g_ema_params), jax.tree.leaves(new_state.g_params)
     ):
         assert np.allclose(np.asarray(e), np.asarray(p))
+
+
+def test_train_step_survives_nan_microbatch():
+    """A NaN real microbatch must not poison params/Adam/EMA — grads are
+    scrubbed before the update (ref training_loop.py:517-521)."""
+    state, step, batch = build()
+    batch = dict(batch)
+    x = np.asarray(batch["x"]).copy()
+    x[0, 1] = np.nan  # one corrupt sample in the first D microbatch
+    batch["x"] = jnp.asarray(x)
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(3))
+    assert float(metrics["D_grad_nonfinite"]) > 0
+    for leaf in jax.tree.leaves(new_state.d_params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    for leaf in jax.tree.leaves(new_state.d_opt_state):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "f":
+            assert np.isfinite(arr).all()
+    # Healthy run reports a zero count.
+    state2, step2, batch2 = build()
+    _, m2 = jax.jit(step2)(state2, batch2, jax.random.PRNGKey(4))
+    assert float(m2["D_grad_nonfinite"]) == 0
+    assert float(m2["G_grad_nonfinite"]) == 0
