@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 
 
-def load_model_inference(cfg: Dict[str, Any]):
-    """Load a generator for inference.
+def load_generator(cfg: Dict[str, Any]):
+    """Load a generator module + variables for inference.
 
     Supports three sources:
     - native checkpoints (``weights_root``/``experiment_name`` dirs, best-FID
@@ -26,8 +26,7 @@ def load_model_inference(cfg: Dict[str, Any]):
       ``pth_dir``);
     - reference StyleGAN2 pickles (``backbone='stylegan2'`` + ``network_pkl``).
 
-    Returns ``(apply_fn, model_cfg)`` where
-    ``apply_fn(z, label, feats, **kw) -> images NHWC in [-1, 1]``.
+    Returns ``(g_module, variables, model_cfg)``.
     """
     backbone = cfg.get("backbone", "biggan")
     if backbone == "biggan":
@@ -99,10 +98,7 @@ def load_model_inference(cfg: Dict[str, Any]):
                 **(state.g_ema_state if use_ema else state.g_state),
             }
 
-        def apply_fn(z, label=None, feats=None, **kw):
-            return g.apply(variables, z, label, feats, train=False)
-
-        return apply_fn, model_cfg
+        return g, variables, model_cfg
 
     elif backbone == "stylegan2":
         from ic_gan_tpu.models import stylegan2 as sg2
@@ -122,15 +118,66 @@ def load_model_inference(cfg: Dict[str, Any]):
         else:
             raise ValueError("stylegan2 inference needs network_pkl")
         g = sg2.Generator(model_cfg)
-
-        def apply_fn(z, label=None, feats=None, truncation_psi=1.0, **kw):
-            return g.apply(
-                variables, z, label, feats, truncation_psi=truncation_psi,
-                noise_mode=kw.get("noise_mode", "const"),
-            )
-
-        return apply_fn, model_cfg
+        return g, variables, model_cfg
     raise ValueError(f"unknown backbone {backbone}")
+
+
+def load_model_inference(cfg: Dict[str, Any]):
+    """Load a generator and wrap it in the jitted deployment sampler.
+
+    Returns ``(apply_fn, model_cfg)`` where ``apply_fn(z, label, feats) ->
+    images NHWC float32 in [-1, 1]`` runs as a σ-folded, fixed-batch jitted
+    forward (``io/deploy.make_sampler``) — the un-jitted per-op path takes
+    minutes per call on the relay TPU backend, so everything (50k FID loops
+    included) goes through one compiled executable.
+
+    Extra hooks on the returned function:
+    - ``apply_fn.module`` / ``apply_fn.variables`` / ``apply_fn.model_cfg``;
+    - ``apply_fn.with_standing_stats(sample_conditioning)`` → a new sampler
+      whose BN uses standing statistics accumulated with fresh z/conditioning
+      (ref ``utils.py:1679-1695``; flags ``accumulate_stats`` /
+      ``num_standing_accumulations``).
+    """
+    from ic_gan_tpu.io.deploy import accumulate_standing_stats, make_sampler
+
+    g, variables, model_cfg = load_generator(cfg)
+    backbone = cfg.get("backbone", "biggan")
+    batch = cfg.get("batch_size", 32)
+    dtype = jnp.bfloat16 if cfg.get("deploy_bf16", False) else None
+    apply_kwargs = {}
+    if backbone == "stylegan2":
+        apply_kwargs = {
+            "truncation_psi": cfg.get("truncation_psi", 1.0),
+            "noise_mode": cfg.get("noise_mode", "const"),
+        }
+    dim_z = getattr(model_cfg, "effective_dim_z", None) or model_cfg.z_dim
+
+    def build(vs):
+        fn = make_sampler(
+            g, vs, batch_size=batch, dtype=dtype, **apply_kwargs
+        )
+        fn.module = g
+        fn.variables = vs
+        fn.model_cfg = model_cfg
+
+        def with_standing_stats(sample_conditioning):
+            from ic_gan_tpu.io.deploy import fold_spectral_norm
+
+            # Fold first: standing moments don't depend on the sn collection
+            # and the folded forward skips the serialized power iterations.
+            base = fold_spectral_norm(vs) if "sn" in vs else vs
+            new_vars = accumulate_standing_stats(
+                g, base, jax.random.PRNGKey(cfg.get("seed", 0)), dim_z,
+                sample_conditioning,
+                batch_size=cfg.get("standing_batch_size", batch),
+                n_accumulations=cfg.get("num_standing_accumulations", 16),
+            )
+            return build(new_vars)
+
+        fn.with_standing_stats = with_standing_stats
+        return fn
+
+    return build(variables), model_cfg
 
 
 def get_conditionings(

@@ -50,6 +50,19 @@ def main(argv=None):
 
     dim_z = model_cfg.effective_dim_z
     z_var = cfg.get("z_var", 1.0)
+
+    if cfg.get("accumulate_stats", False):
+        # G_eval_mode standing statistics before sampling (ref
+        # train_fns.py:159-163 / utils.py:1679-1695).
+        def _standing_cond(n):
+            labels, feats = dataset.sample_conditioning_instance_balance(n)
+            return (
+                labels if model_cfg.class_cond else None,
+                feats if model_cfg.instance_cond else None,
+            )
+
+        apply_fn = apply_fn.with_standing_stats(_standing_cond)
+
     counter = [0]
 
     def sample(b):

@@ -1,4 +1,4 @@
-"""Deployment-mode weight preparation.
+"""Deployment-mode weight preparation and the jitted sampling path.
 
 ``fold_spectral_norm`` bakes the spectral normalization into the kernels:
 at eval the reference still runs a power iteration per layer per forward
@@ -10,11 +10,23 @@ path.
 
 ``cast_params`` converts floating-point leaves to bfloat16 (keeping batch
 norm statistics in float32) to halve HBM weight traffic during sampling.
+
+``make_sampler`` wraps a generator in a fixed-batch jitted forward over
+folded/cast variables — on the relay TPU backend un-jitted per-op dispatch
+takes minutes per call, so every eval/inference consumer (FID loops, JPEG
+dumpers, sample sheets) must go through this.
+
+``accumulate_standing_stats`` drives BigGAN's standing-statistics eval mode
+(ref ``BigGAN_PyTorch/utils.py:1679-1695``): reset the BN accumulators, run
+``n`` forwards in ``standing`` mode with fresh z/conditioning, and eval-mode
+BN then normalizes with the averaged accumulated moments (``G_eval_mode``).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -84,3 +96,123 @@ def cast_params(variables: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]
         return node
 
     return cast_tree(variables)
+
+
+def reset_standing_stats(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Zero every BN (mean, var, accum_counter) triple so a fresh
+    standing-stats accumulation can begin (ref ``utils.py:1664-1675``
+    ``initiate_standing_stats``)."""
+    bs = variables.get("batch_stats")
+    if bs is None:
+        return variables
+
+    def reset(node):
+        if isinstance(node, dict):
+            if "accum_counter" in node:
+                return {k: jnp.zeros_like(v) for k, v in node.items()}
+            return {k: reset(v) for k, v in node.items()}
+        return node
+
+    out = dict(variables)
+    out["batch_stats"] = reset(bs)
+    return out
+
+
+def accumulate_standing_stats(
+    g_module,
+    variables: Dict[str, Any],
+    rng: jax.Array,
+    dim_z: int,
+    sample_conditioning: Optional[Callable[[int], tuple]] = None,
+    *,
+    batch_size: int = 32,
+    n_accumulations: int = 16,
+) -> Dict[str, Any]:
+    """Accumulate standing statistics into ``variables['batch_stats']``
+    (ref ``utils.py:1679-1695``: 16 forwards with fresh z ~ N(0, 1) and fresh
+    conditioning per accumulation, then eval normalizes with the average).
+
+    ``sample_conditioning(n) -> (label | None, feats | None)`` supplies the
+    conditioning draws (numpy, host-side); pass None for an unconditional G.
+    The forward is jitted once and reused across accumulations.
+    """
+    variables = reset_standing_stats(variables)
+    if "batch_stats" not in variables:
+        return variables
+
+    @jax.jit
+    def standing_step(v, z, label, feats):
+        _, mut = g_module.apply(
+            v, z, label, feats, train=False, standing=True,
+            mutable=["batch_stats"],
+        )
+        return mut["batch_stats"]
+
+    for i in range(n_accumulations):
+        step_rng = jax.random.fold_in(rng, i)
+        z = jax.random.normal(step_rng, (batch_size, dim_z))
+        label = feats = None
+        if sample_conditioning is not None:
+            label, feats = sample_conditioning(batch_size)
+            label = None if label is None else jnp.asarray(label)
+            feats = None if feats is None else jnp.asarray(feats)
+        variables = dict(variables)
+        variables["batch_stats"] = standing_step(variables, z, label, feats)
+    return variables
+
+
+def make_sampler(
+    g_module,
+    variables: Dict[str, Any],
+    *,
+    batch_size: Optional[int] = None,
+    fold: bool = True,
+    dtype=None,
+    **apply_kwargs,
+):
+    """Return ``sampler(z, label=None, feats=None) -> np.ndarray`` running the
+    generator as a fixed-batch jitted forward.
+
+    - σ-folds the ``sn`` collection into the kernels (15× on the relay TPU —
+      the eval-mode power iterations otherwise serialize between convs);
+    - optionally casts weights (``dtype=jnp.bfloat16``) to halve HBM traffic;
+    - chunks arbitrary ``n`` into ``batch_size`` jit calls, padding the tail
+      chunk (one compiled executable regardless of request size).
+
+    This is the TPU equivalent of the reference's ``torch.no_grad`` sample
+    closure (``inference/utils.py:176-265``).
+    """
+    if fold and "sn" in variables:
+        variables = fold_spectral_norm(variables)
+    if dtype is not None:
+        variables = cast_params(variables, dtype)
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def run(v, z, label, feats):
+        return g_module.apply(v, z, label, feats, train=False, **apply_kwargs)
+
+    def _pad(a, pad):
+        if a is None or pad == 0:
+            return a
+        reps = np.concatenate([a[:1]] * pad) if pad else a[:0]
+        return np.concatenate([np.asarray(a), np.asarray(reps)])
+
+    def sampler(z, label=None, feats=None):
+        z = np.asarray(z)
+        n = z.shape[0]
+        bs = batch_size or n
+        outs = []
+        for lo in range(0, n, bs):
+            hi = min(lo + bs, n)
+            pad = bs - (hi - lo)
+            img = run(
+                variables,
+                jnp.asarray(_pad(z[lo:hi], pad)),
+                None if label is None else jnp.asarray(_pad(label[lo:hi], pad)),
+                None if feats is None else jnp.asarray(_pad(feats[lo:hi], pad)),
+            )
+            outs.append(np.asarray(img[: hi - lo], np.float32))
+        return outs[0] if len(outs) == 1 else np.concatenate(outs)
+
+    return sampler

@@ -210,18 +210,32 @@ class SG2Trainer:
                                 return
 
     def sample_fn(self, n: int, rng, truncation_psi: float = 1.0):
-        """EMA sampling with dataset conditioning (for eval)."""
+        """EMA sampling with dataset conditioning (for eval) — jitted once
+        per trainer (fixed truncation; fresh variables passed as args so no
+        retrace across ticks)."""
+        cache = getattr(self, "_eval_run_cache", None)
+        if cache is None:
+            cache = self._eval_run_cache = {}
+        run = cache.get(truncation_psi)
+        if run is None:
+            # psi gates Python control flow in the mapping network, so it is
+            # a static closure constant: one compiled executable per value.
+            run = jax.jit(
+                lambda variables, z, c, h: self.g.apply(
+                    variables, z, c, h, truncation_psi=truncation_psi,
+                    noise_mode="const",
+                )
+            )
+            cache[truncation_psi] = run
         variables = {
             "params": self.state.g_ema_params, **self.state.g_ema_state
         }
         z = jax.random.normal(rng, (n, self.mcfg.z_dim))
         c = h = None
-        if self.mcfg.h_dim:
+        if self.mcfg.h_dim or self.mcfg.c_dim:
             lab, feats = self.dataset.sample_conditioning_instance_balance(n)
-            h = jnp.asarray(feats)
+            if self.mcfg.h_dim:
+                h = jnp.asarray(feats)
             if self.mcfg.c_dim and lab is not None:
                 c = jnp.asarray(lab)
-        return self.g.apply(
-            variables, z, c, h, truncation_psi=truncation_psi,
-            noise_mode="const",
-        ), c, h
+        return run(variables, z, c, h), c, h

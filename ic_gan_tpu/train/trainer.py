@@ -187,8 +187,13 @@ class Trainer:
         """Eval-mode variables with spectral norm folded into the kernels
         (io.deploy) — the power-iteration graph costs more than the convs at
         small batches, and a 50k-image FID run amortizes one fold per test.
+        With ``accumulate_stats`` standing statistics are accumulated first
+        (``G_eval_mode``, ref utils.py:1679-1695).
         Cached per (step, use_ema)."""
-        from ic_gan_tpu.io.deploy import fold_spectral_norm
+        from ic_gan_tpu.io.deploy import (
+            accumulate_standing_stats,
+            fold_spectral_norm,
+        )
 
         key = (int(self.state.step), use_ema)
         cache = getattr(self, "_eval_var_cache", None)
@@ -197,27 +202,63 @@ class Trainer:
         params = self.state.g_ema_params if use_ema else self.state.g_params
         g_state = self.state.g_ema_state if use_ema else self.state.g_state
         variables = fold_spectral_norm({"params": params, **g_state})
+        if getattr(self.cfg, "accumulate_stats", False):
+            variables = accumulate_standing_stats(
+                self.g, variables, jax.random.PRNGKey(self.cfg.seed),
+                self.mcfg.effective_dim_z, self._sample_conditioning,
+                batch_size=self.cfg.batch_size,
+                n_accumulations=getattr(
+                    self.cfg, "num_standing_accumulations", 16
+                ),
+            )
         self._eval_var_cache = (key, variables)
         return variables
 
-    def sample_fn(self, n: int, rng: jax.Array, use_ema: bool = True):
-        """Generate ``n`` images with fresh conditioning (for eval)."""
-        variables = self._eval_variables(use_ema)
+    def _sample_conditioning(self, n: int):
         if self.dataset.which_nn_balance == "instance_balance":
             labels, feats = self.dataset.sample_conditioning_instance_balance(n)
         else:
             labels, feats = self.dataset.sample_conditioning_nnclass_balance(
                 n, num_classes=self.mcfg.n_classes
             )
+        return (
+            labels if self.mcfg.class_cond else None,
+            feats if self.mcfg.instance_cond else None,
+        )
+
+    def _eval_sampler(self, use_ema: bool = True):
+        """Jitted fixed-shape generator forward over the folded eval
+        variables — un-jitted dispatch takes minutes on the relay TPU, so
+        the 50k-image FID loop must reuse one compiled executable."""
+        key = (int(self.state.step), use_ema)
+        cache = getattr(self, "_eval_sampler_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        variables = self._eval_variables(use_ema)
+
+        @jax.jit
+        def run(v, z, label, feats):
+            return self.g.apply(v, z, label, feats, train=False)
+
+        def sampler(z, label, feats):
+            return run(variables, z, label, feats)
+
+        self._eval_sampler_cache = (key, sampler)
+        return sampler
+
+    def sample_fn(self, n: int, rng: jax.Array, use_ema: bool = True):
+        """Generate ``n`` images with fresh conditioning (for eval)."""
+        sampler = self._eval_sampler(use_ema)
+        labels, feats = self._sample_conditioning(n)
+        if not self.mcfg.class_cond and not self.mcfg.instance_cond:
+            labels = feats = None
         z = jax.random.normal(rng, (n, self.mcfg.effective_dim_z)) * np.sqrt(
             self.tcfg.z_var
         )
-        imgs = self.g.apply(
-            variables,
+        imgs = sampler(
             z,
-            jnp.asarray(labels) if self.mcfg.class_cond else None,
-            jnp.asarray(feats) if self.mcfg.instance_cond else None,
-            train=False,
+            jnp.asarray(labels) if labels is not None else None,
+            jnp.asarray(feats) if feats is not None else None,
         )
         return imgs, labels, feats
 
