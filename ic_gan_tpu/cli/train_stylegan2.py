@@ -70,7 +70,9 @@ def setup_configs(cfg: dict):
         ada_target=cfg.get("target", 0.6),
     )
     loop = SG2LoopConfig(
-        experiment_name=cfg.get("experiment_name", "icgan_stylegan2"),
+        experiment_name=cfg.get(
+            "exp_name", cfg.get("experiment_name", "icgan_stylegan2")
+        ),
         run_dir=cfg.get("outdir", cfg.get("run_dir", "training-runs")),
         total_kimg=cfg.get("kimg", 25000),
         kimg_per_tick=cfg.get("kimg_per_tick", 4),
@@ -92,7 +94,17 @@ def main(argv=None):
     from ic_gan_tpu.data.datasets import get_dataset_hdf5
     from ic_gan_tpu.train.stylegan2_trainer import SG2Trainer
 
-    _, _, _, data_kwargs = split_config(cfg)
+    _, _, _, data_kwargs = split_config(cfg, backbone="stylegan2")
+    # The SG2 JSONs name their hdf5 files directly (data/root_feats/root_nns,
+    # ref train.py:144-167) and use `mirror` for hflip aug.
+    if cfg.get("data"):
+        data_kwargs["xy_filename"] = cfg["data"]
+    if cfg.get("root_feats"):
+        data_kwargs["feats_filename"] = cfg["root_feats"]
+    if cfg.get("root_nns"):
+        data_kwargs["nns_filename"] = cfg["root_nns"]
+    if cfg.get("mirror"):
+        data_kwargs["hflip"] = True
     # StyleGAN2 consumes one-hot labels (label_onehot, ref train.py:144-167).
     dataset = get_dataset_hdf5(
         label_dim=model.c_dim, label_onehot=model.c_dim > 0, **data_kwargs

@@ -411,20 +411,43 @@ def get_dataset_hdf5(
     load_in_mem_feats: bool = True,
     compute_nns: bool = False,
     seed: int = 0,
+    filter_hd: int = -1,
+    xy_filename: Optional[str] = None,
+    feats_filename: Optional[str] = None,
+    nns_filename: Optional[str] = None,
     **dataset_kwargs,
 ) -> HDF5Dataset:
     """Factory with the reference's file-name conventions
-    (``data_utils/utils.py:444-637``)."""
+    (``data_utils/utils.py:444-637``).  Explicit ``*_filename`` overrides
+    bypass the conventions (the SG2 JSONs name their hdf5 files directly:
+    ``data`` / ``root_feats`` / ``root_nns``, ref train.py:144-167)."""
     names = hdf5_filenames(
         resolution, which_dataset, longtail, split, test_part,
         feature_extractor, backbone_feature_extractor, k_nn,
     )
+    if xy_filename:
+        names["xy"] = xy_filename
+    if feats_filename:
+        names["feats"] = feats_filename
+    if nns_filename:
+        names["nns"] = nns_filename
     kmeans_file = None
     if kmeans_subsampled > -1:
         kmeans_file = os.path.join(
             data_path,
             kmeans_filename(resolution, which_dataset, feature_extractor,
                             kmeans_subsampled),
+        )
+    if filter_hd > -1:
+        # COCO-Stuff eval-set hamming filter (ref utils.py:640-680; index
+        # artifacts live under <data>/coco_stuff_val_indexes/).
+        from ic_gan_tpu.data.image_datasets import filter_by_hd
+
+        idx_dir = os.path.join(data_path, "coco_stuff_val_indexes")
+        dataset_kwargs["allowed_idxs"] = filter_by_hd(
+            filter_hd,
+            os.path.join(idx_dir, "cocostuff_val2_all_idxs.npy"),
+            os.path.join(idx_dir, "val2_image_ids_by_hd_75ktraining_im.npy"),
         )
     return HDF5Dataset(
         root=os.path.join(data_path, names["xy"]),

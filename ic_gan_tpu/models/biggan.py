@@ -198,8 +198,9 @@ class Generator(nn.Module):
             if cfg.G_shared_feat:
                 embs.append(
                     SNDense(
-                        cfg.shared_dim_feat, eps=cfg.SN_eps, dtype=dtype,
-                        name="shared_feat",
+                        cfg.shared_dim_feat, eps=cfg.SN_eps,
+                        num_svs=cfg.num_G_SVs, num_itrs=cfg.num_SV_itrs,
+                        dtype=dtype, name="shared_feat",
                     )(feats.astype(dtype), update_sn=train)
                 )
             else:
@@ -221,6 +222,8 @@ class Generator(nn.Module):
         h = SNDense(
             arch["in_channels"][0] * cfg.bottom_width ** 2,
             eps=cfg.SN_eps,
+            num_svs=cfg.num_G_SVs,
+            num_itrs=cfg.num_SV_itrs,
             dtype=dtype,
             name="linear",
         )(z0.astype(dtype), update_sn=train)
@@ -237,21 +240,25 @@ class Generator(nn.Module):
                 upsample=arch["upsample"][i],
                 sn_eps=cfg.SN_eps,
                 bn_eps=cfg.BN_eps,
+                num_svs=cfg.num_G_SVs,
+                num_itrs=cfg.num_SV_itrs,
                 axis_name=cfg.axis_name,
                 dtype=dtype,
                 name=f"block_{i}",
             )(h, ys[i], train=train, standing=standing)
             if arch["attention"][i]:
                 h = SelfAttention(
-                    arch["out_channels"][i], sn_eps=cfg.SN_eps, dtype=dtype,
-                    name=f"attn_{i}",
+                    arch["out_channels"][i], sn_eps=cfg.SN_eps,
+                    num_svs=cfg.num_G_SVs, num_itrs=cfg.num_SV_itrs,
+                    dtype=dtype, name=f"attn_{i}",
                 )(h, update_sn=train)
 
         h = ScaledBatchNorm(
             arch["out_channels"][-1], eps=cfg.BN_eps, axis_name=cfg.axis_name,
             name="output_bn",
         )(h, train=train, standing=standing)
-        h = SNConv(3, eps=cfg.SN_eps, dtype=dtype, name="output_conv")(
+        h = SNConv(3, eps=cfg.SN_eps, num_svs=cfg.num_G_SVs,
+                   num_itrs=cfg.num_SV_itrs, dtype=dtype, name="output_conv")(
             jax.nn.relu(h), update_sn=train
         )
         return jnp.tanh(h.astype(jnp.float32))
@@ -283,37 +290,47 @@ class Discriminator(nn.Module):
                 preactivation=i > 0,
                 downsample=arch["downsample"][i],
                 sn_eps=cfg.SN_eps,
+                num_svs=cfg.num_D_SVs,
+                num_itrs=cfg.num_SV_itrs,
                 dtype=dtype,
                 name=f"block_{i}",
             )(h, update_sn=train)
             if arch["attention"][i]:
                 h = SelfAttention(
-                    arch["out_channels"][i], sn_eps=cfg.SN_eps, dtype=dtype,
-                    name=f"attn_{i}",
+                    arch["out_channels"][i], sn_eps=cfg.SN_eps,
+                    num_svs=cfg.num_D_SVs, num_itrs=cfg.num_SV_itrs,
+                    dtype=dtype, name=f"attn_{i}",
                 )(h, update_sn=train)
 
         # Global sum pool over space (ref BigGAN.py:625).
         h = jnp.sum(jax.nn.relu(h), axis=(1, 2))
-        out = SNDense(1, eps=cfg.SN_eps, dtype=dtype, name="linear")(
+        out = SNDense(1, eps=cfg.SN_eps, num_svs=cfg.num_D_SVs,
+                      num_itrs=cfg.num_SV_itrs, dtype=dtype, name="linear")(
             h, update_sn=train
         )
 
         top = arch["out_channels"][-1]
         # Projection discrimination (ref BigGAN.py:548-563, 629-641).
         if cfg.class_cond and cfg.instance_cond:
-            e = SNEmbed(cfg.n_classes, top // 2, eps=cfg.SN_eps, dtype=dtype,
-                        name="embed")(label, update_sn=train)
-            f = SNDense(top // 2, eps=cfg.SN_eps, dtype=dtype, name="linear_feat")(
+            e = SNEmbed(cfg.n_classes, top // 2, eps=cfg.SN_eps,
+                        num_svs=cfg.num_D_SVs, num_itrs=cfg.num_SV_itrs,
+                        dtype=dtype, name="embed")(label, update_sn=train)
+            f = SNDense(top // 2, eps=cfg.SN_eps, num_svs=cfg.num_D_SVs,
+                        num_itrs=cfg.num_SV_itrs, dtype=dtype,
+                        name="linear_feat")(
                 feats.astype(dtype), update_sn=train
             )
             proj = jnp.concatenate([e, f], axis=-1)
             out = out + jnp.sum(proj * h, axis=1, keepdims=True)
         elif cfg.class_cond:
-            e = SNEmbed(cfg.n_classes, top, eps=cfg.SN_eps, dtype=dtype,
-                        name="embed")(label, update_sn=train)
+            e = SNEmbed(cfg.n_classes, top, eps=cfg.SN_eps,
+                        num_svs=cfg.num_D_SVs, num_itrs=cfg.num_SV_itrs,
+                        dtype=dtype, name="embed")(label, update_sn=train)
             out = out + jnp.sum(e * h, axis=1, keepdims=True)
         elif cfg.instance_cond:
-            f = SNDense(top, eps=cfg.SN_eps, dtype=dtype, name="linear_feat")(
+            f = SNDense(top, eps=cfg.SN_eps, num_svs=cfg.num_D_SVs,
+                        num_itrs=cfg.num_SV_itrs, dtype=dtype,
+                        name="linear_feat")(
                 feats.astype(dtype), update_sn=train
             )
             out = out + jnp.sum(f * h, axis=1, keepdims=True)

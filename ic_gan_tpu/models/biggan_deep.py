@@ -92,6 +92,8 @@ class DeepGBlock(nn.Module):
     channel_ratio: int = 4
     sn_eps: float = 1e-6
     bn_eps: float = 1e-5
+    num_svs: int = 1
+    num_itrs: int = 1
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -99,11 +101,13 @@ class DeepGBlock(nn.Module):
     def __call__(self, x, y, train: bool, standing: bool = False):
         hidden = self.in_features // self.channel_ratio
         cbn = lambda f, name: ConditionalBatchNorm(
-            f, eps=self.bn_eps, sn_eps=self.sn_eps, axis_name=self.axis_name,
+            f, eps=self.bn_eps, sn_eps=self.sn_eps, num_svs=self.num_svs,
+            num_itrs=self.num_itrs, axis_name=self.axis_name,
             dtype=self.dtype, name=name,
         )
         conv = lambda f, k, name: SNConv(
-            f, kernel_size=(k, k), eps=self.sn_eps, dtype=self.dtype, name=name
+            f, kernel_size=(k, k), eps=self.sn_eps, num_svs=self.num_svs,
+            num_itrs=self.num_itrs, dtype=self.dtype, name=name,
         )
         h = conv(hidden, 1, "conv1")(
             jax.nn.relu(cbn(self.in_features, "bn1")(x, y, train, standing)),
@@ -135,13 +139,16 @@ class DeepDBlock(nn.Module):
     downsample: bool
     channel_ratio: int = 4
     sn_eps: float = 1e-6
+    num_svs: int = 1
+    num_itrs: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
         hidden = self.out_features // self.channel_ratio
         conv = lambda f, k, name: SNConv(
-            f, kernel_size=(k, k), eps=self.sn_eps, dtype=self.dtype, name=name
+            f, kernel_size=(k, k), eps=self.sn_eps, num_svs=self.num_svs,
+            num_itrs=self.num_itrs, dtype=self.dtype, name=name,
         )
         h = conv(hidden, 1, "conv1")(jax.nn.relu(x), update_sn)
         h = conv(hidden, 3, "conv2")(jax.nn.relu(h), update_sn)
@@ -181,8 +188,9 @@ class Generator(nn.Module):
             embs.append(jnp.take(table, label, axis=0))
         if cfg.instance_cond:
             embs.append(
-                SNDense(cfg.shared_dim_feat, eps=cfg.SN_eps, dtype=dtype,
-                        name="shared_feat")(feats.astype(dtype), update_sn=train)
+                SNDense(cfg.shared_dim_feat, eps=cfg.SN_eps,
+                        num_svs=cfg.num_G_SVs, num_itrs=cfg.num_SV_itrs,
+                        dtype=dtype, name="shared_feat")(feats.astype(dtype), update_sn=train)
             )
         y = jnp.concatenate(embs, axis=-1) if embs else None
 
@@ -196,6 +204,7 @@ class Generator(nn.Module):
 
         h = SNDense(
             arch["in_channels"][0] * cfg.bottom_width ** 2, eps=cfg.SN_eps,
+            num_svs=cfg.num_G_SVs, num_itrs=cfg.num_SV_itrs,
             dtype=dtype, name="linear",
         )(zin.astype(dtype), update_sn=train)
         h = h.reshape(h.shape[0], arch["in_channels"][0], cfg.bottom_width,
@@ -216,6 +225,8 @@ class Generator(nn.Module):
                     channel_ratio=cfg.channel_ratio,
                     sn_eps=cfg.SN_eps,
                     bn_eps=cfg.BN_eps,
+                    num_svs=cfg.num_G_SVs,
+                    num_itrs=cfg.num_SV_itrs,
                     axis_name=cfg.axis_name,
                     dtype=dtype,
                     name=f"block_{index}_{g_index}",
@@ -223,6 +234,7 @@ class Generator(nn.Module):
             if arch["attention"][index]:
                 h = SelfAttention(
                     arch["out_channels"][index], sn_eps=cfg.SN_eps,
+                    num_svs=cfg.num_G_SVs, num_itrs=cfg.num_SV_itrs,
                     dtype=dtype, name=f"attn_{index}",
                 )(h, update_sn=train)
 
@@ -230,7 +242,8 @@ class Generator(nn.Module):
             arch["out_channels"][-1], eps=cfg.BN_eps, axis_name=cfg.axis_name,
             name="output_bn",
         )(h, train=train, standing=standing)
-        h = SNConv(3, eps=cfg.SN_eps, dtype=dtype, name="output_conv")(
+        h = SNConv(3, eps=cfg.SN_eps, num_svs=cfg.num_G_SVs,
+                   num_itrs=cfg.num_SV_itrs, dtype=dtype, name="output_conv")(
             jax.nn.relu(h), update_sn=train
         )
         return jnp.tanh(h.astype(jnp.float32))
@@ -244,8 +257,9 @@ class Discriminator(nn.Module):
         cfg = self.cfg
         arch = deep_d_arch(cfg.resolution, cfg.D_ch, cfg.D_attn)
         dtype = cfg.dtype
-        h = SNConv(arch["in_channels"][0], eps=cfg.SN_eps, dtype=dtype,
-                   name="input_conv")(x.astype(dtype), update_sn=train)
+        h = SNConv(arch["in_channels"][0], eps=cfg.SN_eps,
+                   num_svs=cfg.num_D_SVs, num_itrs=cfg.num_SV_itrs,
+                   dtype=dtype, name="input_conv")(x.astype(dtype), update_sn=train)
         for index in range(len(arch["out_channels"])):
             for d_index in range(cfg.D_depth):
                 h = DeepDBlock(
@@ -258,33 +272,42 @@ class Discriminator(nn.Module):
                     downsample=arch["downsample"][index] and d_index == 0,
                     channel_ratio=cfg.channel_ratio,
                     sn_eps=cfg.SN_eps,
+                    num_svs=cfg.num_D_SVs,
+                    num_itrs=cfg.num_SV_itrs,
                     dtype=dtype,
                     name=f"block_{index}_{d_index}",
                 )(h, update_sn=train)
             if arch["attention"][index]:
                 h = SelfAttention(
                     arch["out_channels"][index], sn_eps=cfg.SN_eps,
+                    num_svs=cfg.num_D_SVs, num_itrs=cfg.num_SV_itrs,
                     dtype=dtype, name=f"attn_{index}",
                 )(h, update_sn=train)
 
         h = jnp.sum(jax.nn.relu(h), axis=(1, 2))
-        out = SNDense(1, eps=cfg.SN_eps, dtype=dtype, name="linear")(
+        out = SNDense(1, eps=cfg.SN_eps, num_svs=cfg.num_D_SVs,
+                      num_itrs=cfg.num_SV_itrs, dtype=dtype, name="linear")(
             h, update_sn=train
         )
         top = arch["out_channels"][-1]
         if cfg.class_cond and cfg.instance_cond:
-            e = SNEmbed(cfg.n_classes, top // 2, eps=cfg.SN_eps, dtype=dtype,
-                        name="embed")(label, update_sn=train)
-            f = SNDense(top // 2, eps=cfg.SN_eps, dtype=dtype,
+            e = SNEmbed(cfg.n_classes, top // 2, eps=cfg.SN_eps,
+                        num_svs=cfg.num_D_SVs, num_itrs=cfg.num_SV_itrs,
+                        dtype=dtype, name="embed")(label, update_sn=train)
+            f = SNDense(top // 2, eps=cfg.SN_eps, num_svs=cfg.num_D_SVs,
+                        num_itrs=cfg.num_SV_itrs, dtype=dtype,
                         name="linear_feat")(feats.astype(dtype), update_sn=train)
             proj = jnp.concatenate([e, f], axis=-1)
             out = out + jnp.sum(proj * h, axis=1, keepdims=True)
         elif cfg.class_cond:
-            e = SNEmbed(cfg.n_classes, top, eps=cfg.SN_eps, dtype=dtype,
-                        name="embed")(label, update_sn=train)
+            e = SNEmbed(cfg.n_classes, top, eps=cfg.SN_eps,
+                        num_svs=cfg.num_D_SVs, num_itrs=cfg.num_SV_itrs,
+                        dtype=dtype, name="embed")(label, update_sn=train)
             out = out + jnp.sum(e * h, axis=1, keepdims=True)
         elif cfg.instance_cond:
-            f = SNDense(top, eps=cfg.SN_eps, dtype=dtype, name="linear_feat")(
+            f = SNDense(top, eps=cfg.SN_eps, num_svs=cfg.num_D_SVs,
+                        num_itrs=cfg.num_SV_itrs, dtype=dtype,
+                        name="linear_feat")(
                 feats.astype(dtype), update_sn=train
             )
             out = out + jnp.sum(f * h, axis=1, keepdims=True)

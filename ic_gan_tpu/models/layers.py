@@ -278,16 +278,22 @@ class ConditionalBatchNorm(nn.Module):
     eps: float = BN_EPS
     momentum: float = 0.1
     sn_eps: float = SN_EPS
+    num_svs: int = 1
+    num_itrs: int = 1
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, y, train: bool, standing: bool = False):
         gain = 1.0 + SNDense(
-            self.features, use_bias=False, eps=self.sn_eps, dtype=self.dtype, name="gain"
+            self.features, use_bias=False, eps=self.sn_eps,
+            num_svs=self.num_svs, num_itrs=self.num_itrs, dtype=self.dtype,
+            name="gain",
         )(y, update_sn=train)
         bias = SNDense(
-            self.features, use_bias=False, eps=self.sn_eps, dtype=self.dtype, name="bias"
+            self.features, use_bias=False, eps=self.sn_eps,
+            num_svs=self.num_svs, num_itrs=self.num_itrs, dtype=self.dtype,
+            name="bias",
         )(y, update_sn=train)
         out = CrossReplicaBatchNorm(
             self.features,
@@ -331,6 +337,8 @@ class SelfAttention(nn.Module):
 
     features: int
     sn_eps: float = SN_EPS
+    num_svs: int = 1
+    num_itrs: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -338,7 +346,8 @@ class SelfAttention(nn.Module):
         ch = self.features
         N, H, W, C = x.shape
         conv = lambda f, name: SNConv(
-            f, kernel_size=(1, 1), use_bias=False, eps=self.sn_eps, dtype=self.dtype,
+            f, kernel_size=(1, 1), use_bias=False, eps=self.sn_eps,
+            num_svs=self.num_svs, num_itrs=self.num_itrs, dtype=self.dtype,
             name=name,
         )
         theta = conv(ch // 8, "theta")(x, update_sn)
@@ -383,17 +392,21 @@ class GBlock(nn.Module):
     upsample: bool = True
     sn_eps: float = SN_EPS
     bn_eps: float = BN_EPS
+    num_svs: int = 1
+    num_itrs: int = 1
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, y, train: bool, standing: bool = False):
         cbn = lambda f, name: ConditionalBatchNorm(
-            f, eps=self.bn_eps, sn_eps=self.sn_eps, axis_name=self.axis_name,
+            f, eps=self.bn_eps, sn_eps=self.sn_eps, num_svs=self.num_svs,
+            num_itrs=self.num_itrs, axis_name=self.axis_name,
             dtype=self.dtype, name=name,
         )
         conv = lambda f, k, name: SNConv(
-            f, kernel_size=(k, k), eps=self.sn_eps, dtype=self.dtype, name=name
+            f, kernel_size=(k, k), eps=self.sn_eps, num_svs=self.num_svs,
+            num_itrs=self.num_itrs, dtype=self.dtype, name=name,
         )
         h = jax.nn.relu(cbn(self.in_features, "bn1")(x, y, train, standing))
         if self.upsample:
@@ -416,13 +429,16 @@ class DBlock(nn.Module):
     preactivation: bool = True
     downsample: bool = False
     sn_eps: float = SN_EPS
+    num_svs: int = 1
+    num_itrs: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
         hidden = self.out_features if self.wide else self.in_features
         conv = lambda f, k, name: SNConv(
-            f, kernel_size=(k, k), eps=self.sn_eps, dtype=self.dtype, name=name
+            f, kernel_size=(k, k), eps=self.sn_eps, num_svs=self.num_svs,
+            num_itrs=self.num_itrs, dtype=self.dtype, name=name,
         )
         h = jax.nn.relu(x) if self.preactivation else x
         h = conv(hidden, 3, "conv1")(h, update_sn)

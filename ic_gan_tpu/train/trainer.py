@@ -49,8 +49,21 @@ class TrainerConfig:
     es_patience: int = 50
     seed: int = 0
     deterministic_run: bool = True
-    batch_size: int = 64          # per-microbatch (per accumulation)
+    batch_size: int = 64          # global per-microbatch (per accumulation)
     n_devices: Optional[int] = None
+    # Reference eval-mode flags (utils.py:508-537): sample from the EMA copy,
+    # and accumulate standing BN statistics before each eval.
+    use_ema: bool = True
+    accumulate_stats: bool = False
+    num_standing_accumulations: int = 16
+    # Divergence stop gate (ref trainer.py:514: only with stop_when_diverge).
+    stop_when_diverge: bool = False
+    # Log spectral-norm singular-value estimates every N iterations
+    # (ref utils.py:1590-1598 + sv_log_interval flag; 0 disables).
+    sv_log_interval: int = 0
+    # Informational: reference world size (n_nodes * n_gpus_per_node) the
+    # global batch derivation came from.
+    world_size: int = 1
     # Capture a jax.profiler trace of steps [profile_start, profile_start+3)
     # into this directory (tensorboard-viewable) — the reference's
     # record_function/CUDA-event instrumentation equivalent (SURVEY.md §5.1).
@@ -246,8 +259,28 @@ class Trainer:
         self._eval_sampler_cache = (key, sampler)
         return sampler
 
-    def sample_fn(self, n: int, rng: jax.Array, use_ema: bool = True):
+    def _sv_metrics(self) -> Dict[str, float]:
+        """Per-layer singular-value estimates from the explicit ``sn``
+        collections (ref ``utils.py:1590-1598`` logs G/D SVs each
+        ``sv_log_interval``)."""
+        out = {}
+        for prefix, st in (("G", self.state.g_state), ("D", self.state.d_state)):
+            sn = st.get("sn", {}) if hasattr(st, "get") else {}
+            flat = jax.tree_util.tree_flatten_with_path(sn)[0]
+            for path, leaf in flat:
+                name = "/".join(
+                    str(getattr(p, "key", p)) for p in path
+                )
+                if name.endswith("sv") or "sv" in name.split("/")[-1]:
+                    vals = np.asarray(leaf).ravel()
+                    for i, v in enumerate(vals):
+                        out[f"{prefix}_sv/{name}_{i}"] = float(v)
+        return out
+
+    def sample_fn(self, n: int, rng: jax.Array, use_ema: Optional[bool] = None):
         """Generate ``n`` images with fresh conditioning (for eval)."""
+        if use_ema is None:
+            use_ema = self.cfg.use_ema
         sampler = self._eval_sampler(use_ema)
         labels, feats = self._sample_conditioning(n)
         if not self.mcfg.class_cond and not self.mcfg.instance_cond:
@@ -391,6 +424,13 @@ class Trainer:
                         itr=self.history["itr"],
                         **{k: float(v) for k, v in metrics.items()},
                     )
+                if (
+                    cfg.sv_log_interval > 0
+                    and self.history["itr"] % cfg.sv_log_interval == 0
+                ):
+                    self.train_log.log(
+                        itr=self.history["itr"], **self._sv_metrics()
+                    )
             dt = time.time() - t0
             imgs_per_sec = steps_per_epoch * per_step_imgs / dt
             print(
@@ -410,8 +450,12 @@ class Trainer:
             if (epoch + 1) % cfg.test_every == 0:
                 m = self.test()
                 if m is not None:
-                    # Divergence stop (ref trainer.py:514-516).
-                    if 2 * m.get("IS_mean", np.inf) < self.history["best_IS"]:
+                    # Divergence stop (ref trainer.py:514-516, gated on the
+                    # stop_when_diverge flag like the reference).
+                    if (
+                        cfg.stop_when_diverge
+                        and 2 * m.get("IS_mean", np.inf) < self.history["best_IS"]
+                    ):
                         print("Divergence detected — stopping.")
                         return
                     # Early stop on patience (ref trainer.py:532-540).

@@ -127,6 +127,11 @@ def test_sample_cli_writes_jpegs(tmp_path):
             "resolution": 32, "n_classes": 2, "G_ch": 4, "D_ch": 4,
             "dim_z": 8, "G_attn": "0", "D_attn": "0", "shared_dim": 8,
             "shared_dim_feat": 8, "k_nn": 3,
+            # split_config now mirrors the reference parser defaults
+            # (instance_cond/hier/G_shared_feat default False) — state the
+            # geometry explicitly like the published JSONs do.
+            "instance_cond": True, "G_shared_feat": True, "hier": True,
+            "feature_extractor": "selfsupervised",
             "data_root": str(data), "experiment_name": "exp",
             "weights_root": str(tmp_path / "w"), "load_weights": "",
             "out_dir": str(tmp_path / "out"), "num_imgs": 5, "batch_size": 3,
