@@ -103,15 +103,16 @@ def main(argv=None):
 
     prdc_ref = None
     if cfg.get("eval_prdc", False):
-        # Reference features for PRDC from real data (ref test.py:82-91).
-        n_ref = min(cfg.get("prdc_ref_images", 10000), len(dataset))
-        pools = []
-        for lo in range(0, n_ref, 64):
-            idxs = dataset.possible_sampling_idxs[lo : min(lo + 64, n_ref)]
-            imgs = dataset._norm(dataset._get_images(idxs))
-            p, _ = evaluator(jnp.asarray(imgs))
-            pools.append(p)
-        prdc_ref = np.concatenate(pools)
+        # Reference features for PRDC from real data (ref test.py:82-91),
+        # disk-cached by dataset identity (ref metric_utils.py:245-268).
+        from ic_gan_tpu.eval.pipeline import cached_real_features
+
+        prdc_ref = cached_real_features(
+            dataset, evaluator,
+            cache_dir=os.path.join(data_root, "feature_cache"),
+            n_items=cfg.get("prdc_ref_images", 10000),
+            batch=cfg.get("eval_batch_size", 64),
+        )
 
     metrics = evaluate_generator(
         sample,

@@ -308,26 +308,48 @@ class HDF5Dataset:
             labels_gen = self._maybe_onehot(self.get_label(chosen))
         return labels_gen, instance_gen
 
+    def _class_index_table(self, num_classes: int):
+        """Per-class index ranges, computed once: a stable argsort of the
+        labels plus [start, end) offsets per class.  Replaces the reference's
+        per-draw ``np.nonzero(labels == lab)`` scan over the full label array
+        (O(batch·N) → O(1) per draw after an O(N log N) setup)."""
+        cache = getattr(self, "_class_idx_cache", None)
+        if cache is not None and cache[0] == num_classes:
+            return cache[1:]
+        labels = (
+            self.labels.reshape(-1)
+            if self.labels is not None
+            else self.get_label(np.arange(self.total_imgs))
+        )
+        order = np.argsort(labels, kind="stable").astype(np.int64)
+        sorted_labels = labels[order]
+        classes = np.arange(num_classes)
+        starts = np.searchsorted(sorted_labels, classes, "left")
+        ends = np.searchsorted(sorted_labels, classes, "right")
+        self._class_idx_cache = (num_classes, order, starts, ends)
+        return order, starts, ends
+
     def sample_conditioning_nnclass_balance(
         self, batch_size: int, weights=None, num_classes: int = 1000
     ):
-        """(ref ``datasets_common.py:578-622``)."""
+        """(ref ``datasets_common.py:578-622``) — vectorized: one categorical
+        class draw, one uniform member pick via the precomputed per-class
+        index table, one gather into the dense [N, k] neighbor matrix."""
         if weights is not None:
             weights = np.asarray(weights, np.float64)
             weights = weights / weights.sum()
         chosen_class = self.rng.choice(
             num_classes, batch_size, replace=True, p=weights
         )
-        labels = (
-            self.labels.reshape(-1)
-            if self.labels is not None
-            else self.get_label(np.arange(self.total_imgs))
-        )
-        nn_idxs = np.empty(batch_size, np.int64)
-        for i, lab in enumerate(chosen_class):
-            candidates = np.nonzero(labels == lab)[0]
-            chosen_xnn = self.rng.choice(candidates)
-            nn_idxs[i] = self.rng.choice(self.sample_nns[chosen_xnn])
+        order, starts, ends = self._class_index_table(num_classes)
+        counts = ends[chosen_class] - starts[chosen_class]
+        if (counts <= 0).any():
+            bad = chosen_class[counts <= 0][0]
+            raise ValueError(f"no samples available for class {bad}")
+        offsets = self.rng.integers(0, counts)
+        chosen_xnn = order[starts[chosen_class] + offsets]
+        nn_cols = self.rng.integers(0, self.sample_nns.shape[1], batch_size)
+        nn_idxs = self.sample_nns[chosen_xnn, nn_cols].astype(np.int64)
         instance_gen = self.get_instance_features(nn_idxs)
         return self._maybe_onehot(chosen_class.astype(np.int64)), instance_gen
 

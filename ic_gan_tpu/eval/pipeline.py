@@ -132,6 +132,49 @@ def save_moments(out_path: str, name: str, mu, sigma):
     np.savez(os.path.join(out_path, name), mu=mu, sigma=sigma)
 
 
+def cached_real_features(
+    dataset,
+    evaluator: InceptionEvaluator,
+    cache_dir: str,
+    n_items: int,
+    batch: int = 64,
+) -> np.ndarray:
+    """Real-side Inception pool features, cached to disk keyed by the
+    dataset identity (ref ``metric_utils.py:245-268``: md5-keyed cache with
+    an atomic ``os.replace`` write).  A 10-50k-image real pass costs minutes
+    on the relay TPU backend — recomputing it per eval is waste.
+    """
+    import hashlib
+
+    idxs_all = np.asarray(dataset.possible_sampling_idxs)
+    n = min(n_items, len(idxs_all))
+    key_src = repr((
+        getattr(dataset, "root", ""),
+        getattr(dataset, "root_feats", ""),
+        n,
+        int(idxs_all[:n].sum()),
+        hashlib.md5(idxs_all[:n].tobytes()).hexdigest(),
+        evaluator.pretrained,
+    )).encode()
+    tag = hashlib.md5(key_src).hexdigest()[:16]
+    path = os.path.join(cache_dir, f"real-pool-{tag}.npz")
+    if os.path.exists(path):
+        return np.load(path)["pool"]
+    pools = []
+    for lo in range(0, n, batch):
+        idxs = idxs_all[lo : min(lo + batch, n)]
+        imgs = dataset._norm(dataset._get_images(idxs))
+        p, _ = evaluator(jnp.asarray(imgs))
+        pools.append(p)
+    pool = np.concatenate(pools)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, pool=pool)
+    os.replace(tmp, path)
+    return pool
+
+
 def evaluate_generator(
     sample_fn: Callable[[int], Tuple[np.ndarray, Optional[np.ndarray]]],
     evaluator: InceptionEvaluator,

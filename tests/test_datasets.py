@@ -156,3 +156,42 @@ def test_sample_batch_conditioning_invariant(hdf5_dir):
             assert diffs.min() < 1e-5  # image is one of idx_h's neighbours
             # And the radius matches that instance.
             assert abs(b.radii[i] - ds.sample_nn_radius[idx_h]) < 1e-5
+
+
+def test_nnclass_balance_neighbors_come_from_chosen_class(hdf5_dir):
+    """Vectorized sampler property: each returned feature must be the
+    feature of a k-NN neighbor of SOME member of the drawn class
+    (ref datasets_common.py:578-622 semantics)."""
+    ds = make_ds(hdf5_dir, which_nn_balance="nnclass_balance")
+    labels_all = ds.labels.reshape(-1)
+    labels, feats = ds.sample_conditioning_nnclass_balance(32, num_classes=4)
+    for lab, f in zip(labels, feats):
+        members = np.nonzero(labels_all == lab)[0]
+        neighbor_ids = np.unique(ds.sample_nns[members])
+        cand = ds.feats[neighbor_ids]
+        dists = np.abs(cand - f[None]).sum(axis=1)
+        assert dists.min() < 1e-4, f"feature not from class {lab} neighborhood"
+
+
+def test_cached_real_features_roundtrip(hdf5_dir, tmp_path, monkeypatch):
+    from ic_gan_tpu.eval.pipeline import InceptionEvaluator, cached_real_features
+
+    ds = make_ds(hdf5_dir)
+    ev = InceptionEvaluator(batch=8)
+
+    first = cached_real_features(ds, ev, str(tmp_path), n_items=12, batch=8)
+    assert first.shape == (12, 2048)
+
+    # Second call must hit the disk cache: poison the image fetch (normal
+    # attribute lookup, unlike __call__ which bypasses instance attrs).
+    def boom(idxs):
+        raise AssertionError("dataset re-read despite cache")
+
+    monkeypatch.setattr(ds, "_get_images", boom)
+    second = cached_real_features(ds, ev, str(tmp_path), n_items=12, batch=8)
+    np.testing.assert_array_equal(first, second)
+    # Different subset size -> different key -> recompute attempt (boom).
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="re-read"):
+        cached_real_features(ds, ev, str(tmp_path), n_items=8, batch=8)
