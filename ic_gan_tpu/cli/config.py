@@ -78,6 +78,9 @@ CONSUMED_KEYS = {
     "out_dir", "num_imgs", "num_samples", "chunk_size", "compute_moments",
     "split", "samples_per_class_path", "max_steps",
     "feature_extractor_weights", "input_image",
+    # multi-host bootstrap (cli/train.py; replaces the SLURM tcp://
+    # rendezvous of the reference)
+    "jax_distributed", "coordinator_address", "num_processes", "process_id",
 }
 
 # StyleGAN2 front-end keys consumed by cli/train_stylegan2.py::setup_configs.

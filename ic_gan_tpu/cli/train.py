@@ -14,6 +14,25 @@ from ic_gan_tpu.cli.config import parse_args, split_config
 
 def main(argv=None):
     cfg = parse_args(argv)
+
+    # Multi-host bootstrap (the reference's SLURM tcp:// rendezvous,
+    # trainer.py:84-101): auto-detect a cluster when launched under SLURM /
+    # a TPU pod, or take explicit coordinator settings from the config.
+    import os
+
+    if cfg.get("jax_distributed", False) or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        from ic_gan_tpu.parallel.mesh import distributed_init
+
+        distributed_init(
+            coordinator_address=cfg.get(
+                "coordinator_address", os.environ.get("JAX_COORDINATOR_ADDRESS")
+            ),
+            num_processes=cfg.get("num_processes"),
+            process_id=cfg.get("process_id"),
+        )
+
     model_cfg, train_cfg, trainer_cfg, data_kwargs = split_config(cfg)
 
     from ic_gan_tpu.data.datasets import get_dataset_hdf5

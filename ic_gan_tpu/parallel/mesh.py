@@ -18,6 +18,55 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids=None,
+) -> bool:
+    """Multi-host bootstrap — the TPU-native replacement for the reference's
+    ``dist.init_process_group("nccl", tcp://master:40000)`` rendezvous
+    (``BigGAN_PyTorch/trainer.py:84-101``,
+    ``stylegan2_ada_pytorch/train.py:608-654``).
+
+    With no arguments, ``jax.distributed.initialize`` auto-detects the
+    cluster (SLURM/TPU-pod metadata); explicit args cover the
+    locally-spawned multi-process case.  Returns True when running
+    multi-process afterwards.  Safe to call twice (no-op if already up).
+    """
+    already = getattr(distributed_init, "_done", False)
+    if not already:
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        if local_device_ids is not None:
+            kwargs["local_device_ids"] = local_device_ids
+        jax.distributed.initialize(**kwargs)
+        distributed_init._done = True
+    return jax.process_count() > 1
+
+
+def is_main_process() -> bool:
+    """True on the process that owns checkpoint/log writes (the reference's
+    ``rank == 0`` guards, ``trainer.py:520-541``)."""
+    return jax.process_index() == 0
+
+
+def local_batch_size(global_batch: int) -> int:
+    """Per-host share of a global batch (the reference's rank-strided
+    ``DistributedSampler`` partitioning, ``data_utils/utils.py:54-123``)."""
+    n = jax.process_count()
+    if global_batch % n != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by {n} processes"
+        )
+    return global_batch // n
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
@@ -56,6 +105,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch, axis: int = 0):
     """Device-put a pytree of host arrays with the batch axis sharded over
     ``data``. For microbatch slabs (leading axis = accumulation index) pass
-    ``axis=1`` so each microbatch is split across the mesh."""
+    ``axis=1`` so each microbatch is split across the mesh.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process (pod):
+    each host passes its LOCAL portion of the batch and the global array is
+    assembled via ``jax.make_array_from_process_local_data`` — the
+    per-host data feeding that replaces the reference's rank-strided
+    samplers (SURVEY.md §2.3)."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(a)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)

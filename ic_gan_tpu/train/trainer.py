@@ -29,7 +29,13 @@ import jax.numpy as jnp
 from ic_gan_tpu.data.datasets import HDF5Dataset
 from ic_gan_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from ic_gan_tpu.models.biggan import BigGANConfig, Discriminator, Generator
-from ic_gan_tpu.parallel.mesh import make_mesh, shard_batch
+from ic_gan_tpu.parallel.mesh import (
+    is_main_process,
+    local_batch_size,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
 from ic_gan_tpu.train.state import GANTrainState
 from ic_gan_tpu.train.step import TrainConfig, make_train_step
 from ic_gan_tpu.utils.logging import MetricLogger, MetricsLogger, write_metadata
@@ -128,6 +134,24 @@ class Trainer:
             g_vars, d_vars, train_cfg.g_optimizer(), train_cfg.d_optimizer()
         )
 
+        # Multi-host (pod) support: replicate the train state globally and
+        # decorrelate each host's data sampling — the per-host feeding +
+        # rank-0 guards that replace the reference's DDP machinery
+        # (trainer.py:84-101, 520-541; SURVEY.md §2.3).
+        self.n_proc = jax.process_count()
+        self.is_main = is_main_process()
+        if self.n_proc > 1:
+            repl = replicated(self.mesh)
+            self.state = jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(
+                    repl, np.asarray(a)
+                ),
+                self.state,
+            )
+            self.dataset.rng = np.random.default_rng(
+                trainer_cfg.seed + 100003 * jax.process_index()
+            )
+
         self.history: Dict[str, Any] = {
             "itr": 0, "epoch": 0, "best_IS": 0.0, "best_FID": float("inf"),
             "save_num": 0, "save_best_num": 0, "epochs_no_improvement": 0,
@@ -156,7 +180,9 @@ class Trainer:
         of reals + nD+accG fresh generator conditionings (ref
         ``train_fns.py:62-163`` — fresh sampling per accumulation)."""
         t = self.tcfg
-        mb = self.cfg.batch_size
+        # Each host samples only its share of the global microbatch; the
+        # global array is assembled in shard_batch (pod data feeding).
+        mb = local_batch_size(self.cfg.batch_size)
         nD = t.num_D_steps * t.num_D_accumulations
         nG = t.num_G_accumulations
         res = self.mcfg.resolution
@@ -214,6 +240,12 @@ class Trainer:
             return cache[1]
         params = self.state.g_ema_params if use_ema else self.state.g_params
         g_state = self.state.g_ema_state if use_ema else self.state.g_state
+        if self.n_proc > 1:
+            # Pod eval runs on the main process only: pull the (fully
+            # replicated) global arrays to host so the fold + eval jit stay
+            # local instead of requiring all hosts to participate.
+            params = jax.tree.map(np.asarray, params)
+            g_state = jax.tree.map(np.asarray, g_state)
         variables = fold_spectral_norm({"params": params, **g_state})
         if getattr(self.cfg, "accumulate_stats", False):
             variables = accumulate_standing_stats(
@@ -298,9 +330,26 @@ class Trainer:
     def test(self):
         if self.eval_fn is None:
             return None
-        metrics = self.eval_fn(self)
-        is_mean = metrics.get("IS_mean", 0.0)
-        fid = metrics.get("FID", float("inf"))
+        # Multi-host: eval runs on the main process only (its state copy is
+        # identical); the scalar verdicts broadcast so every host takes the
+        # same early-stop / divergence decision (ref metric_main.py:59-64
+        # result broadcast).
+        if self.is_main:
+            metrics = self.eval_fn(self)
+            vals = np.asarray(
+                [metrics.get("IS_mean", 0.0),
+                 metrics.get("FID", float("inf"))], np.float64,
+            )
+        else:
+            metrics = None
+            vals = np.zeros(2, np.float64)
+        if self.n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            vals = np.asarray(multihost_utils.broadcast_one_to_all(vals))
+        is_mean, fid = float(vals[0]), float(vals[1])
+        if metrics is None:
+            metrics = {"IS_mean": is_mean, "FID": fid}
         h = self.history
         improved = (
             (self.cfg.which_best == "IS" and is_mean > h["best_IS"])
@@ -308,14 +357,16 @@ class Trainer:
         )
         if improved:
             h["epochs_no_improvement"] = 0
-            self.save(suffix=f"best{h['save_best_num']}")
+            if self.is_main:
+                self.save(suffix=f"best{h['save_best_num']}")
             h["save_best_num"] = (h["save_best_num"] + 1) % self.cfg.num_best_copies
         else:
             h["epochs_no_improvement"] += 1
         h["best_IS"] = max(h["best_IS"], is_mean)
         h["best_FID"] = min(h["best_FID"], fid)
-        self.test_log.log(itr=h["itr"], **metrics)
-        self.metric_log.log(h["itr"], **metrics)
+        if self.is_main:
+            self.test_log.log(itr=h["itr"], **metrics)
+            self.metric_log.log(h["itr"], **metrics)
         return metrics
 
     def save(self, suffix: str = ""):
@@ -394,7 +445,11 @@ class Trainer:
 
         for epoch in range(self.history["epoch"], cfg.num_epochs):
             if cfg.deterministic_run:
-                self.dataset.rng = np.random.default_rng(cfg.seed + epoch)
+                # Per-(epoch, rank) reseed (ref trainer.py:113-119 seeds with
+                # epoch+rank so hosts draw disjoint data).
+                self.dataset.rng = np.random.default_rng(
+                    cfg.seed + epoch + 100003 * jax.process_index()
+                )
             t0 = time.time()
             for it in range(steps_per_epoch):
                 if (
@@ -419,7 +474,7 @@ class Trainer:
                         lambda x: x.block_until_ready(), self.state.g_params
                     )
                     jax.profiler.stop_trace()
-                if self.history["itr"] % 100 == 0:
+                if self.history["itr"] % 100 == 0 and self.is_main:
                     self.train_log.log(
                         itr=self.history["itr"],
                         **{k: float(v) for k, v in metrics.items()},
@@ -427,26 +482,33 @@ class Trainer:
                 if (
                     cfg.sv_log_interval > 0
                     and self.history["itr"] % cfg.sv_log_interval == 0
+                    and self.is_main
                 ):
                     self.train_log.log(
                         itr=self.history["itr"], **self._sv_metrics()
                     )
             dt = time.time() - t0
             imgs_per_sec = steps_per_epoch * per_step_imgs / dt
-            print(
-                f"epoch {epoch}: {dt:.1f}s ({imgs_per_sec:.1f} img/s) "
-                + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
-            )
+            if self.is_main:
+                print(
+                    f"epoch {epoch}: {dt:.1f}s ({imgs_per_sec:.1f} img/s) "
+                    + " ".join(
+                        f"{k}={float(v):.4f}" for k, v in metrics.items()
+                    )
+                )
             self.history["epoch"] = epoch + 1
 
             if (epoch + 1) % cfg.save_every == 0:
-                self.save()
-                if cfg.num_save_copies > 0:
-                    self.save(suffix=f"copy{self.history['save_num']}")
-                    self.history["save_num"] = (
-                        self.history["save_num"] + 1
-                    ) % cfg.num_save_copies
-                self._save_progress_sheet()
+                # Checkpoint writes are rank-0-only (ref trainer.py:520-531);
+                # the state is fully replicated, so main's copy is canonical.
+                if self.is_main:
+                    self.save()
+                    if cfg.num_save_copies > 0:
+                        self.save(suffix=f"copy{self.history['save_num']}")
+                        self.history["save_num"] = (
+                            self.history["save_num"] + 1
+                        ) % cfg.num_save_copies
+                    self._save_progress_sheet()
             if (epoch + 1) % cfg.test_every == 0:
                 m = self.test()
                 if m is not None:
