@@ -244,8 +244,13 @@ class AugmentPipe:
         brightness_std=0.2, contrast_std=0.5, hue_max=1.0, saturation_std=1.0,
         imgfilter=0, imgfilter_bands=(1, 1, 1, 1), imgfilter_std=1.0,
         noise=0, cutout=0, noise_std=0.1, cutout_size=0.5,
-        geom_margin_frac=0.25,
+        geom_margin_frac=0.25, geom_impl="auto",
     ):
+        # geom_impl: "exact" = per-pixel bilinear gather (bit-parity with the
+        # reference grid_sample); "fast" = Catmull-Smith two-pass warp with
+        # the Pallas row-shift kernel (gather-free, ~7x faster on TPU,
+        # triple-lerp numerics within second-order interpolation error);
+        # "auto" = fast on TPU, exact elsewhere.
         self.__dict__.update(
             {k: v for k, v in locals().items() if k not in ("self",)}
         )
@@ -530,14 +535,47 @@ class AugmentPipe:
                 (N, 3, 3),
             )
         )
-        # affine_grid(align_corners=False): output pixel centres in [-1, 1].
-        ys = (2.0 * jnp.arange(Hp * 2) + 1.0) / (Hp * 2) - 1.0
-        xs = (2.0 * jnp.arange(Wp * 2) + 1.0) / (Wp * 2) - 1.0
-        gx, gy = jnp.meshgrid(xs, ys)
-        ones = jnp.ones_like(gx)
-        base = jnp.stack([gx, gy, ones], axis=-1)  # (Ho, Wo, 3)
-        grid = jnp.einsum("nij,hwj->nhwi", G_inv[:, :2, :], base)
-        images = grid_sample_bilinear(images, grid)
+        use_fast = self.geom_impl == "fast" or (
+            self.geom_impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_fast and images.shape[1] == images.shape[2]:
+            # Gather-free two-pass warp (fast_warp + Pallas row shifts).
+            # Convert the normalized-coords affine to pixel space:
+            #   px = (G·[x_n, y_n, 1] + 1)·in/2 − 0.5,  x_n = (2·xo+1)/Wo − 1.
+            in_h, in_w = images.shape[1], images.shape[2]
+            Ho, Wo = Hp * 2, Wp * 2
+            G2 = G_inv[:, :2, :]
+            a = G2[:, 0, 0] * (in_w / Wo)
+            b = G2[:, 0, 1] * (in_w / Ho)
+            tx = (in_w / 2.0) * (
+                G2[:, 0, 0] * (1.0 / Wo - 1.0)
+                + G2[:, 0, 1] * (1.0 / Ho - 1.0)
+                + G2[:, 0, 2] + 1.0
+            ) - 0.5
+            c = G2[:, 1, 0] * (in_h / Wo)
+            d = G2[:, 1, 1] * (in_h / Ho)
+            ty = (in_h / 2.0) * (
+                G2[:, 1, 0] * (1.0 / Wo - 1.0)
+                + G2[:, 1, 1] * (1.0 / Ho - 1.0)
+                + G2[:, 1, 2] + 1.0
+            ) - 0.5
+            A_px = jnp.stack(
+                [jnp.stack([a, b], -1), jnp.stack([c, d], -1)], axis=1
+            )
+            t_px = jnp.stack([tx, ty], -1)
+            from ic_gan_tpu.data.fast_warp import affine_warp
+
+            images = affine_warp(images, A_px, t_px)
+        else:
+            # affine_grid(align_corners=False): output pixel centres in
+            # [-1, 1].
+            ys = (2.0 * jnp.arange(Hp * 2) + 1.0) / (Hp * 2) - 1.0
+            xs = (2.0 * jnp.arange(Wp * 2) + 1.0) / (Wp * 2) - 1.0
+            gx, gy = jnp.meshgrid(xs, ys)
+            ones = jnp.ones_like(gx)
+            base = jnp.stack([gx, gy, ones], axis=-1)  # (Ho, Wo, 3)
+            grid = jnp.einsum("nij,hwj->nhwi", G_inv[:, :2, :], base)
+            images = grid_sample_bilinear(images, grid)
 
         # Downsample and crop back to (H, W).
         images = downsample2d(

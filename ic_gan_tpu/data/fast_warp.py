@@ -39,6 +39,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _shift(x: jax.Array, off: jax.Array, use_pallas: bool) -> jax.Array:
+    """Dispatch the per-row fractional shift: Pallas kernel (contiguous
+    dynamic-start VMEM slices, no gather) on TPU; the XLA formulation (or
+    the interpreted kernel in tests) elsewhere."""
+    if use_pallas:
+        from ic_gan_tpu.ops.pallas.row_shift import frac_shift_rows
+
+        return frac_shift_rows(
+            x, off, interpret=jax.default_backend() != "tpu"
+        )
+    return _frac_shift_rows(x, off)
+
+
 def _frac_shift_rows(x: jax.Array, off: jax.Array) -> jax.Array:
     """Shift each row of ``x`` (N, R, L, C) along L by ``off`` (N, R) pixels
     with linear interpolation; out[l] = x[l + off], zero outside."""
@@ -80,11 +93,17 @@ def _scale_rows_matmul(x: jax.Array, alpha: jax.Array, r0: jax.Array,
     return jnp.transpose(y, (0, 2, 1, 3)).astype(x.dtype)
 
 
-def affine_warp(img: jax.Array, A: jax.Array, t: jax.Array) -> jax.Array:
+def affine_warp(img: jax.Array, A: jax.Array, t: jax.Array,
+                use_pallas: bool = None) -> jax.Array:
     """Warp ``img`` (N, H, W, C) by the per-sample inverse affine
     ``src_px = A @ dst_px + t`` (pixel coordinates), H == W required
     (ADA warps padded square images).  Output has the same shape.
+
+    ``use_pallas`` selects the gather-free Pallas row-shift kernel for the
+    shear passes (default: on when running on TPU).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     N, H, W, C = img.shape
     assert H == W, "fast_warp requires square images (ADA pads to square)"
     a, b = A[:, 0, 0], A[:, 0, 1]
@@ -118,12 +137,12 @@ def affine_warp(img: jax.Array, A: jax.Array, t: jax.Array) -> jax.Array:
     S = _scale_rows_matmul(xT, alpha, zeta - alpha * (L / 2.0), EXT)
     xs = jnp.arange(W, dtype=jnp.float32)
     off1 = L / 2.0 + (e / alpha_safe)[:, None] * xs[None, :]  # (N, W)
-    T = _frac_shift_rows(S, off1)[:, :, :L]               # (N, x, yt, C)
+    T = _shift(S, off1, use_pallas)[:, :, :L]               # (N, x, yt, C)
     T = jnp.swapaxes(T, 1, 2)                             # (N, yt, x, C)
 
     # ---- pass 2 (horizontal): out[yo, xo] = T[yo, a·xo + b·yo + tx] ----
     U = _scale_rows_matmul(T, a_, tx_ - a_ * (L / 2.0), EXT)
     ys = jnp.arange(H, dtype=jnp.float32)
     off2 = L / 2.0 + (b_ / a_safe)[:, None] * ys[None, :]  # (N, H)
-    out = _frac_shift_rows(U, off2)[:, :, :L]
+    out = _shift(U, off2, use_pallas)[:, :, :L]
     return out

@@ -1,0 +1,94 @@
+"""Pallas fractional row-shift kernel vs the XLA oracle
+(fast_warp._frac_shift_rows) — the ADA warp's gather replacement.
+Runs in the Pallas interpreter on CPU (same kernel code as TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ic_gan_tpu.data.fast_warp import _frac_shift_rows
+from ic_gan_tpu.ops.pallas.row_shift import frac_shift_rows, row_shift
+
+
+def _data(N=2, R=5, L=40, C=3, scale=90.0, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(N, R, L, C).astype(np.float32)
+    off = (rng.rand(N, R).astype(np.float32) - 0.5) * scale
+    return jnp.asarray(x), jnp.asarray(off)
+
+
+def test_forward_matches_xla_oracle():
+    x, off = _data()
+    ref = _frac_shift_rows(x, off)
+    got = frac_shift_rows(x, off, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_integer_shifts_exact():
+    x, _ = _data()
+    off = jnp.asarray(np.array([[-3, 0, 5, 39, -40], [1, 2, -1, 0, 7]], np.float32))
+    ref = _frac_shift_rows(x, off)
+    got = frac_shift_rows(x, off, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_out_of_frame_rows_zero():
+    x, _ = _data(L=16)
+    off = jnp.full((2, 5), 1000.0)
+    got = frac_shift_rows(x, off, interpret=True)
+    assert float(jnp.abs(got).max()) == 0.0
+
+
+def test_gradients_to_second_order():
+    x, off = _data(L=24)
+
+    def loss(fn):
+        return lambda x_: jnp.sum(jnp.sin(fn(x_, off)))
+
+    f_ref = loss(lambda a, o: _frac_shift_rows(a, o))
+    f_new = loss(lambda a, o: frac_shift_rows(a, o, interpret=True))
+    g_ref, g_new = jax.grad(f_ref)(x), jax.grad(f_new)(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), atol=1e-6)
+    h_ref = jax.grad(lambda a: jnp.sum(jax.grad(f_ref)(a) ** 2))(x)
+    h_new = jax.grad(lambda a: jnp.sum(jax.grad(f_new)(a) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(h_new), np.asarray(h_ref), atol=1e-5)
+
+
+def test_row_shift_2d_contract():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(7, 33).astype(np.float32))
+    off = jnp.asarray((rng.rand(7).astype(np.float32) - 0.5) * 20)
+    got = np.asarray(row_shift(x, off, True))
+    k = np.floor(np.asarray(off)).astype(int)
+    f = np.asarray(off) - k
+    xp = np.pad(np.asarray(x), ((0, 0), (40, 40)))
+    want = np.stack([
+        xp[b, 40 + k[b] : 40 + k[b] + 33] * (1 - f[b])
+        + xp[b, 41 + k[b] : 41 + k[b] + 33] * f[b]
+        for b in range(7)
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_fast_geom_close_to_exact_pipe():
+    """Triple-lerp warp vs exact bilinear on the full pipe: second-order
+    interpolation error only (mean ~0.1%)."""
+    from scipy.ndimage import gaussian_filter
+
+    from ic_gan_tpu.data.ada import AugmentPipe
+
+    rng = np.random.RandomState(2)
+    x = gaussian_filter(
+        rng.randn(2, 32, 32, 3), sigma=(0, 2, 2, 0)
+    ).astype(np.float32)
+    for dp in (0.3, 0.65):
+        oe = AugmentPipe.from_spec("bg", geom_impl="exact")(
+            jax.random.PRNGKey(0), jnp.asarray(x), 0.9, debug_percentile=dp
+        )
+        of = AugmentPipe.from_spec("bg", geom_impl="fast")(
+            jax.random.PRNGKey(0), jnp.asarray(x), 0.9, debug_percentile=dp
+        )
+        err = np.abs(np.asarray(oe) - np.asarray(of))
+        assert err.mean() < 5e-3 and err.max() < 5e-2, (dp, err.max())
