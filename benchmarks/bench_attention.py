@@ -1,0 +1,56 @@
+"""Microbench: SA-GAN attention — XLA chain vs fused Pallas kernel.
+
+Shapes are the BigGAN-256 ch96 generator's 64×64 attention stage at the
+bench batch (theta (N,4096,48), phi (N,1024,48), g (N,1024,192)); also runs
+the 128²-model stage (d=24, dv=96).  Timing follows the relay-backend rules
+(CLAUDE.md): chained iterations through a data dependency + one host fetch.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ic_gan_tpu.ops.pallas.attention import sagan_attention, _attention_xla
+
+
+def timeit(fn, *args, iters=20):
+    out = fn(*args)
+    chk = jnp.sum(out[0, ::37, ::7])
+    float(chk)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(args[0] + 0.0 * chk.astype(args[0].dtype), *args[1:])
+        chk = jnp.sum(out[0, ::37, ::7])
+    float(chk)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    print("default_backend:", jax.default_backend(),
+          "device_kind:", jax.devices()[0].device_kind,
+          "platform:", jax.devices()[0].platform)
+    for (N, Lq, Lk, d, dv) in [(128, 4096, 1024, 48, 192),
+                               (64, 4096, 1024, 24, 96)]:
+        k = jax.random.split(jax.random.PRNGKey(0), 3)
+        theta = jax.random.normal(k[0], (N, Lq, d), jnp.bfloat16)
+        phi = jax.random.normal(k[1], (N, Lk, d), jnp.bfloat16)
+        g = jax.random.normal(k[2], (N, Lk, dv), jnp.bfloat16)
+
+        xla = jax.jit(_attention_xla)
+        pal = jax.jit(lambda t, p, v: sagan_attention(t, p, v))
+
+        a = xla(theta, phi, g)
+        b = pal(theta, phi, g)
+        err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        t_x = timeit(xla, theta, phi, g)
+        t_p = timeit(pal, theta, phi, g)
+        flops = 2 * N * Lq * Lk * (d + dv)
+        print(f"N={N} Lq={Lq} Lk={Lk} d={d} dv={dv}: "
+              f"xla {t_x*1e3:.2f} ms, pallas {t_p*1e3:.2f} ms "
+              f"({t_x/t_p:.2f}x), max|Δ|={err:.3e}, "
+              f"pallas {flops/t_p/1e12:.1f} TFLOP/s")
+
+
+if __name__ == "__main__":
+    main()

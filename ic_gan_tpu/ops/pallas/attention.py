@@ -1,0 +1,123 @@
+"""Pallas TPU kernel: fused SA-GAN attention (softmax(θφᵀ)·g in one pass).
+
+The SA-GAN non-local block (reference ``BigGAN_PyTorch/layers.py:206-244``)
+is, at 256² sampling, the generator's single most expensive non-conv op: at
+the 64×64 stage the logits tensor is (N, 4096, 1024) — with XLA the
+``θφᵀ → softmax → ·g`` chain materializes it to HBM between the two dots and
+burns VPU time on a fused-but-HBM-bound exp pass (~30 % of end-to-end
+sampling time at batch 128, README "cliffs").
+
+This kernel computes the whole block per (batch, q-tile) grid step entirely
+in VMEM: one MXU dot for the (BQ, Lk) logit tile, an exact row max / exp /
+row sum on the VPU (Lk always fits — it is HW/4 ≤ 4096 for every BigGAN
+geometry), a second MXU dot against ``g``, and one divide — the logits never
+touch HBM.  Unlike streaming flash attention there is no online-softmax
+rescaling: the full key axis is resident, so the softmax is exact in one
+shot.  BigGAN attention is unscaled (no 1/√d) and non-causal.
+
+Autodiff: ``sagan_attention`` carries a ``jax.custom_vjp`` whose backward is
+the straightforward XLA formulation (recompute p; dθ = ds·φ, dφ = dsᵀ·θ,
+dg = pᵀ·do) — BigGAN needs first-order grads only (D/G steps; ortho reg acts
+on params, not activations), so the forward kernel serves training too while
+the backward stays compiler-scheduled.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(theta_ref, phi_ref, g_ref, o_ref):
+    theta = theta_ref[0]  # (BQ, d)
+    phi = phi_ref[0]      # (Lk, d)
+    g = g_ref[0]          # (Lk, dv)
+    logits = jax.lax.dot_general(
+        theta, phi, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, Lk) f32, MXU accumulates in f32
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(g.dtype), g, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, dv)
+    o_ref[0] = (o / s).astype(o_ref.dtype)
+
+
+def _attention_fwd_impl(theta, phi, g, interpret: bool = False):
+    N, Lq, d = theta.shape
+    Lk, dv = g.shape[1], g.shape[2]
+    BQ = min(512, Lq)
+    # BigGAN geometries give Lq = HW ∈ {256..4096} and Lk = HW/4 — all
+    # multiples of the 128-lane tile and of BQ; keep a hard check rather
+    # than silent padding (callers fall back to XLA for odd shapes).
+    assert Lq % BQ == 0 and Lk % 128 == 0, (Lq, Lk)
+    out = pl.pallas_call(
+        _attn_kernel,
+        grid=(N, Lq // BQ),
+        in_specs=[
+            pl.BlockSpec((1, BQ, d), lambda n, q: (n, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, d), lambda n, q: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, dv), lambda n, q: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, dv), lambda n, q: (n, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, Lq, dv), g.dtype),
+        interpret=interpret,
+    )(theta, phi, g)
+    return out
+
+
+def _attention_xla(theta, phi, g):
+    """Reference XLA formulation (f32 softmax) — backward + fallback path."""
+    logits = jnp.einsum("nqc,nkc->nqk", theta, phi,
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("nqk,nkc->nqc", p.astype(g.dtype), g,
+                      preferred_element_type=jnp.float32).astype(g.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sagan_attention(theta, phi, g, interpret: bool = False):
+    """softmax(θ·φᵀ)·g, fused on-chip.  θ (N,Lq,d), φ (N,Lk,d), g (N,Lk,dv).
+
+    Replaces reference ``layers.py:238-241`` (two bmm + softmax).  Unscaled,
+    non-causal.  Forward runs the Pallas kernel; first-order VJP provided.
+    """
+    return _attention_fwd_impl(theta, phi, g, interpret)
+
+
+def _sagan_fwd(theta, phi, g, interpret):
+    return _attention_fwd_impl(theta, phi, g, interpret), (theta, phi, g)
+
+
+def _sagan_bwd(interpret, res, do):
+    theta, phi, g = res
+    logits = jnp.einsum("nqc,nkc->nqk", theta, phi,
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1)  # (N, Lq, Lk) f32
+    do32 = do.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    dp = jnp.einsum("nqc,nkc->nqk", do32, g32)
+    dg = jnp.einsum("nqk,nqc->nkc", p, do32).astype(g.dtype)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dtheta = jnp.einsum("nqk,nkc->nqc", ds, phi.astype(jnp.float32))
+    dphi = jnp.einsum("nqk,nqc->nkc", ds, theta.astype(jnp.float32))
+    return dtheta.astype(theta.dtype), dphi.astype(phi.dtype), dg
+
+
+sagan_attention.defvjp(_sagan_fwd, _sagan_bwd)
+
+
+def supported(Lq: int, Lk: int) -> bool:
+    """Shapes the kernel handles without padding (all BigGAN attn stages)."""
+    return Lq % min(512, Lq) == 0 and Lq % 128 == 0 and Lk % 128 == 0
