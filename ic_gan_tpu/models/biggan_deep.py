@@ -117,9 +117,16 @@ class DeepGBlock(nn.Module):
         if self.in_features != self.out_features:
             x = x[..., : self.out_features]  # channel drop (ref :73-74)
         if self.upsample:
-            h = upsample_nearest_2x(h)
             x = upsample_nearest_2x(x)
-        h = conv(hidden, 3, "conv2")(h, update_sn=train)
+            # Upsample fused into conv2 (polyphase exact rewrite of
+            # interpolate→conv — ops/resample.py:conv3x3_nearest_up).
+            h = SNConv(
+                hidden, kernel_size=(3, 3), eps=self.sn_eps,
+                num_svs=self.num_svs, num_itrs=self.num_itrs,
+                dtype=self.dtype, up2x=True, name="conv2",
+            )(h, update_sn=train)
+        else:
+            h = conv(hidden, 3, "conv2")(h, update_sn=train)
         h = conv(hidden, 3, "conv3")(
             jax.nn.relu(cbn(hidden, "bn3")(h, y, train, standing)),
             update_sn=train,

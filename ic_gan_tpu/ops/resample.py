@@ -223,6 +223,65 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     return x.reshape(N, H * 2, W * 2, C)
 
 
+def conv3x3_nearest_up(x: jax.Array, w: jax.Array) -> jax.Array:
+    """``conv3x3(upsample_nearest_2x(x), w, SAME)`` without materializing the
+    upsample — the BigGAN GBlock main path (ref ``layers.py:512-552``:
+    ``F.interpolate(scale=2)`` → 3×3 conv).
+
+    Polyphase identity: every 2×-output pixel of parity (di, dj) reads a 2×2
+    neighbourhood of the *source* image, with the 3×3 taps collapsing
+    pairwise (nearest upsample duplicates rows/cols, so adjacent taps hit the
+    same source pixel).  Four dense 2×2 convs + a pixel shuffle replace one
+    3×3 conv on 4× the pixels: 16 vs 36 MACs per output — 2.25× fewer FLOPs —
+    and the (N, 2H, 2W, C) nearest-upsampled temp (multi-GB at bench shapes,
+    unfused by XLA) never exists.  Exact up to float associativity.
+
+    x: (N, H, W, Cin); w: (3, 3, Cin, Cout) → (N, 2H, 2W, Cout).
+    """
+    assert w.shape[:2] == (3, 3), w.shape
+    # Tap-combination matrices: even outputs read source rows (i-1, i) with
+    # weights (w0, w1+w2); odd outputs read (i, i+1) with (w0+w1, w2).
+    a0 = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], w.dtype)
+    a1 = jnp.array([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]], w.dtype)
+    phases = []
+    for di, ar in ((0, a0), (1, a1)):
+        for dj, ac in ((0, a0), (1, a1)):
+            k = jnp.einsum("ra,abio,cb->rcio", ar, w, ac)
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), ((1 - di, di), (1 - dj, dj)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            phases.append(y)
+    n, h, wd = x.shape[0], x.shape[1], x.shape[2]
+    y = jnp.stack(phases).reshape(2, 2, n, h, wd, -1)
+    y = jnp.transpose(y, (2, 3, 0, 4, 1, 5))  # N, H, di, W, dj, C
+    return y.reshape(n, 2 * h, 2 * wd, -1)
+
+
+def conv3x3_avg_pool_down(x: jax.Array, w: jax.Array) -> jax.Array:
+    """``avg_pool_2x(conv3x3(x, w, SAME))`` as one strided conv — the BigGAN
+    DBlock tail (ref ``layers.py:556-613``: 3×3 conv → ``AvgPool2d(2)``).
+
+    The pooled output at (p, q) averages four conv outputs whose taps span a
+    4×4 source window, so one stride-2 conv with the box-convolved kernel
+    (¼ · w ⊛ 1₂ₓ₂, a 4×4 kernel) replaces conv-then-pool: 16 MACs per pooled
+    output vs 36+pool — and the full-resolution conv temp never exists.
+    Exact up to float associativity.
+
+    x: (N, H, W, Cin); w: (3, 3, Cin, Cout) → (N, H/2, W/2, Cout).
+    """
+    assert w.shape[:2] == (3, 3), w.shape
+    # 4×4 kernel: k4[r, c] = ¼ Σ_{a∈{0,1}} Σ_{b∈{0,1}} w[r−a, c−b].
+    b = jnp.array(
+        [[1.0, 0, 0], [1.0, 1, 0], [0, 1, 1], [0, 0, 1]], w.dtype
+    )  # (4, 3): tap r of k4 sums w rows r and r−1 (in range)
+    k4 = 0.25 * jnp.einsum("ra,abio,cb->rcio", b, w, b)
+    return jax.lax.conv_general_dilated(
+        x, k4, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def avg_pool_2x(x: jax.Array) -> jax.Array:
     """2x2 average pool, stride 2, NHWC (BigGAN D: ``nn.AvgPool2d(2)``)."""
     return jax.lax.reduce_window(
