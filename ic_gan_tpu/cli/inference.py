@@ -108,12 +108,20 @@ def load_generator(cfg: Dict[str, Any]):
 
             nets = load_network_pkl(cfg["network_pkl"])
             variables, init_kwargs = nets.get("G_ema", nets.get("G"))
+            syn_kw = dict(init_kwargs.get("synthesis_kwargs", {}))
+            map_kw = dict(init_kwargs.get("mapping_kwargs", {}))
             model_cfg = sg2.StyleGAN2Config(
                 img_resolution=init_kwargs.get("img_resolution", 256),
                 z_dim=init_kwargs.get("z_dim", 512),
                 c_dim=init_kwargs.get("c_dim", 0),
-                h_dim=init_kwargs.get("h_dim", 2048),
+                h_dim=init_kwargs.get("h_dim", 0),
                 w_dim=init_kwargs.get("w_dim", 512),
+                channel_base=syn_kw.get("channel_base", 32768),
+                channel_max=syn_kw.get("channel_max", 512),
+                num_mapping_layers=map_kw.get("num_layers", 8),
+                num_fp16_res=syn_kw.get("num_fp16_res", 4),
+                conv_clamp=syn_kw.get("conv_clamp", 256.0),
+                architecture_g=syn_kw.get("architecture", "skip"),
             )
         else:
             raise ValueError("stylegan2 inference needs network_pkl")
