@@ -43,6 +43,77 @@ def filter_by_hd(
     )
 
 
+def build_hd_indexes(
+    eval_ids,
+    eval_class_sets,
+    train_class_sets,
+    out_dir: str,
+    prefix: str = "val2",
+    suffix: str = "_75ktraining_im",
+):
+    """Build the COCO-Stuff hamming-distance index npys that
+    ``filter_by_hd`` consumes.
+
+    The reference ships these as precomputed blobs
+    (``coco_stuff_val_indexes/*.npy``, read at ``utils.py:656-664``) with no
+    in-tree builder; this is the missing producer.  For every evaluation
+    image, the minimum hamming distance between its set of present classes
+    and every training image's class set is computed as one dense matmul on
+    the class-presence bitvectors (|aΔb| = |a|+|b|−2·a·b) — MXU-friendly and
+    exact.  Images are then bucketed by that distance:
+    ``by_hd[d]`` = eval image ids at min distance d.
+
+    eval_ids: sequence of eval image ids (dataset order);
+    eval_class_sets / train_class_sets: per-image iterables of class ids.
+    Writes ``cocostuff_{prefix}_all_idxs.npy`` and
+    ``{prefix}_image_ids_by_hd{suffix}.npy``; returns (all_idxs, by_hd).
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    vocab = sorted(
+        set().union(*map(set, list(eval_class_sets) + list(train_class_sets)))
+    )
+    col = {c: i for i, c in enumerate(vocab)}
+
+    def bitmat(sets):
+        m = np.zeros((len(sets), len(vocab)), np.float32)
+        for r, s in enumerate(sets):
+            for c in set(s):
+                m[r, col[c]] = 1.0
+        return m
+
+    a = bitmat(list(eval_class_sets))
+    b = bitmat(list(train_class_sets))
+    inter = np.asarray(jnp.asarray(a) @ jnp.asarray(b).T)
+    hd = a.sum(1, keepdims=True) + b.sum(1)[None, :] - 2.0 * inter
+    hd_min = hd.min(axis=1).astype(np.int64)
+
+    by_hd = [
+        [eval_ids[i] for i in np.nonzero(hd_min == d)[0]]
+        for d in range(int(hd_min.max()) + 1)
+    ]
+    all_idxs = np.asarray(list(eval_ids))
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, f"cocostuff_{prefix}_all_idxs.npy"), all_idxs)
+    np.save(
+        os.path.join(out_dir, f"{prefix}_image_ids_by_hd{suffix}.npy"),
+        np.asarray(by_hd, dtype=object),
+        allow_pickle=True,
+    )
+    return all_idxs, by_hd
+
+
+def coco_class_sets(ds):
+    """Per-image sets of category ids present, in ``ds.image_ids`` order
+    (input to ``build_hd_indexes``)."""
+    return [
+        {obj["category_id"] for obj in ds.id_to_objects[img_id]}
+        for img_id in ds.image_ids
+    ]
+
+
 def _center_crop_resize(img, resolution: int):
     from PIL import Image
 
