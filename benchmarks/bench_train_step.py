@@ -1,0 +1,71 @@
+"""IC-GAN BigGAN training-step throughput on the real chip.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_train_step.py
+
+Reference point (BASELINE.md): the reference's shipped 8×V100 log
+(``BigGAN_ch96_bs256x8.jsonl``) runs 128² ch96 at 0.0896 itr/s × 2048
+img/itr ≈ 23 img/s per V100.  Here: one jitted train step (D step + G step,
+scan microbatch accumulation, EMA, SN updates inside) at the reference's
+128² ch96 geometry, microbatch sized for one v5e chip.
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from __graft_entry__ import _fast_variables
+
+
+def main(resolution=128, ch=96, mb=32):
+    from ic_gan_tpu.models.biggan import BigGANConfig, Generator, Discriminator
+    from ic_gan_tpu.train.state import GANTrainState
+    from ic_gan_tpu.train.step import TrainConfig, make_train_step
+
+    cfg = BigGANConfig(
+        resolution=resolution, G_ch=ch, D_ch=ch, G_attn="64", D_attn="64",
+        dtype=jnp.bfloat16,
+    )
+    tcfg = TrainConfig(num_D_steps=1, num_D_accumulations=1,
+                       num_G_accumulations=1, ema_start=0)
+    g, d = Generator(cfg), Discriminator(cfg)
+    z = jnp.zeros((mb, cfg.effective_dim_z))
+    feats = jnp.zeros((mb, cfg.instance_sz))
+    x = jnp.zeros((mb, resolution, resolution, 3))
+    g_vars = _fast_variables(g, z, None, feats, train=True)
+    d_vars = _fast_variables(d, x, None, feats, train=True)
+    state = GANTrainState.create(
+        g_vars, d_vars, tcfg.g_optimizer(), tcfg.d_optimizer()
+    )
+    step = jax.jit(make_train_step(g.apply, d.apply, tcfg,
+                                   cfg.effective_dim_z), donate_argnums=0)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "x": jnp.asarray(rng.randn(1, mb, resolution, resolution, 3), jnp.float32),
+        "feats": jnp.asarray(rng.randn(1, mb, cfg.instance_sz), jnp.float32),
+        "gen_feats": jnp.asarray(rng.randn(2, mb, cfg.instance_sz), jnp.float32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    float(metrics["G_loss"])
+
+    iters = 10
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        float(metrics["G_loss"])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    # img/s counts dataset (D-real) images per second, the reference's metric.
+    print(f"biggan {resolution}^2 ch{ch} train: {mb/best:8.1f} img/s "
+          f"({best*1e3:.1f} ms/step @ microbatch {mb})")
+
+
+if __name__ == "__main__":
+    main()
