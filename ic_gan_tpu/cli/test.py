@@ -75,12 +75,16 @@ def main(argv=None):
                 b, num_classes=model_cfg.n_classes
             )
         z = jax.random.normal(rng, (b, dim_z)) * np.sqrt(z_var)
+        # device_output: the images feed straight into the on-device
+        # Inception pass — fetching them to host costs ~100 MB/batch over
+        # the relay tunnel and dominated the eval loop.
         imgs = apply_fn(
             z,
             jnp.asarray(labels) if model_cfg.class_cond else None,
             jnp.asarray(feats) if model_cfg.instance_cond else None,
+            device_output=True,
         )
-        return np.asarray(imgs), labels if model_cfg.class_cond else None
+        return imgs, labels if model_cfg.class_cond else None
 
     stratified = None
     samples_per_class = None

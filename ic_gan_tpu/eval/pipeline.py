@@ -68,15 +68,28 @@ class InceptionEvaluator:
             self.variables = load_torch_inception(sd)
             self.pretrained = True
         else:
-            self.variables = self.net.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
-            )
+            # Jitted init: un-jitted per-op dispatch of the full InceptionV3
+            # initializer takes minutes on the relay TPU backend (CLAUDE.md).
+            self.variables = jax.jit(
+                lambda: self.net.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+                )
+            )()
             self.pretrained = False
         self._apply = jax.jit(self.net.apply)
 
-    def __call__(self, images: jax.Array):
-        """images: NHWC in [-1, 1] → (pool (N,2048), logits (N,1000))."""
+    # evaluate_generator feature-detects this to keep features on device.
+    supports_device_output = True
+
+    def __call__(self, images: jax.Array, device_output: bool = False):
+        """images: NHWC in [-1, 1] → (pool (N,2048), logits (N,1000)).
+
+        ``device_output=True`` skips the host fetch — on the relay TPU each
+        per-batch sync costs ~180 ms of round-trip latency and serializes
+        the pipeline (measured 605 vs 5394 img/s through Inception)."""
         pool, logits = self._apply(self.variables, images)
+        if device_output:
+            return pool, logits
         return np.asarray(pool), np.asarray(logits)
 
     def accumulate(self, image_iter: Iterable) -> Tuple[np.ndarray, np.ndarray]:
@@ -194,24 +207,65 @@ def evaluate_generator(
 
     ``sample_fn(batch) -> (images NHWC [-1,1], labels or None)``.
     """
-    moments = FeatureMoments(2048)
+    keep_pools = prdc_ref_features is not None or stratified is not None
+    device = bool(getattr(evaluator, "supports_device_output", False))
     logits_all, labels_all, pools_all = [], [], []
-    remaining = num_images
-    while remaining > 0:
-        b = min(batch, remaining)
-        imgs, labels = sample_fn(b)
-        pool, logits = evaluator(jnp.asarray(imgs))
-        moments.update(pool)
-        logits_all.append(logits)
-        if prdc_ref_features is not None or stratified is not None:
-            pools_all.append(pool)
-        if labels is not None:
-            labels_all.append(np.asarray(labels))
-        remaining -= b
-    logits_cat = np.concatenate(logits_all)
+
+    if device:
+        # Fully asynchronous loop: moments accumulate on device (per-batch
+        # MXU outer products + one running f32 add — 79 sequential adds keep
+        # f32 exact to ~1e-5) and nothing syncs to host until the end.  Each
+        # per-batch host fetch costs ~180 ms round-trip on the relay backend
+        # and serializes the device pipeline (measured 103 → ~900 img/s).
+        dim = 2048
+
+        @jax.jit
+        def _acc(s, o, pool):
+            p = pool.astype(jnp.float32)
+            return s + jnp.sum(p, axis=0), o + p.T @ p
+
+        s = jnp.zeros((dim,), jnp.float32)
+        o = jnp.zeros((dim, dim), jnp.float32)
+        n_total = 0
+        remaining = num_images
+        while remaining > 0:
+            b = min(batch, remaining)
+            imgs, labels = sample_fn(b)
+            pool, logits = evaluator(jnp.asarray(imgs), device_output=True)
+            s, o = _acc(s, o, pool)
+            n_total += b
+            logits_all.append(logits)
+            if keep_pools:
+                pools_all.append(pool)
+            if labels is not None:
+                labels_all.append(np.asarray(labels))
+            remaining -= b
+        s64 = np.asarray(s, np.float64)
+        o64 = np.asarray(o, np.float64)
+        mu = s64 / n_total
+        sigma = (o64 - n_total * np.outer(mu, mu)) / (n_total - 1)
+        logits_cat = np.asarray(jnp.concatenate(logits_all))
+        if keep_pools:
+            pools_all = [np.asarray(jnp.concatenate(pools_all))]
+    else:
+        moments = FeatureMoments(2048)
+        remaining = num_images
+        while remaining > 0:
+            b = min(batch, remaining)
+            imgs, labels = sample_fn(b)
+            pool, logits = evaluator(jnp.asarray(imgs))
+            moments.update(pool)
+            logits_all.append(logits)
+            if keep_pools:
+                pools_all.append(pool)
+            if labels is not None:
+                labels_all.append(np.asarray(labels))
+            remaining -= b
+        logits_cat = np.concatenate(logits_all)
+        mu, sigma = moments.mean, moments.cov
 
     is_mean, is_std = inception_score(logits_cat, num_splits=num_splits)
-    fid = frechet_distance(moments.mean, moments.cov, ref_mu, ref_sigma)
+    fid = frechet_distance(mu, sigma, ref_mu, ref_sigma)
     out = {"IS_mean": is_mean, "IS_std": is_std, "FID": fid}
 
     if stratified is not None and labels_all and samples_per_class is not None:
@@ -269,7 +323,9 @@ def make_train_eval_fn(cfg: Dict):
             imgs, labels, _ = trainer.sample_fn(
                 b, jr.PRNGKey(1000 + counter[0]), use_ema=True
             )
-            return np.asarray(imgs), labels
+            # Keep images on device: they feed the on-device Inception pass
+            # (a host round-trip per batch dominates on the relay backend).
+            return imgs, labels
 
         return evaluate_generator(
             sample, evaluator, ref["mu"], ref["sigma"],

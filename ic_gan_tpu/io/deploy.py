@@ -198,7 +198,12 @@ def make_sampler(
         reps = np.concatenate([a[:1]] * pad) if pad else a[:0]
         return np.concatenate([np.asarray(a), np.asarray(reps)])
 
-    def sampler(z, label=None, feats=None):
+    def sampler(z, label=None, feats=None, device_output: bool = False):
+        """``device_output=True`` keeps the images on device (jax.Array) —
+        essential when the consumer is another on-device stage (the FID
+        loop's Inception pass): fetching a 128×256² bf16 batch through the
+        relay tunnel costs ~100 MB per direction and dominated the round-1
+        eval loop."""
         z = np.asarray(z)
         n = z.shape[0]
         bs = batch_size or n
@@ -212,7 +217,10 @@ def make_sampler(
                 None if label is None else jnp.asarray(_pad(label[lo:hi], pad)),
                 None if feats is None else jnp.asarray(_pad(feats[lo:hi], pad)),
             )
-            outs.append(np.asarray(img[: hi - lo], np.float32))
-        return outs[0] if len(outs) == 1 else np.concatenate(outs)
+            img = img[: hi - lo]
+            outs.append(img if device_output else np.asarray(img, np.float32))
+        if len(outs) == 1:
+            return outs[0]
+        return jnp.concatenate(outs) if device_output else np.concatenate(outs)
 
     return sampler

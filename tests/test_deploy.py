@@ -73,6 +73,11 @@ def test_make_sampler_chunks_and_pads():
     out = sampler(z7, np.asarray(l7), np.asarray(f7))
     assert out.shape == (n, 32, 32, 3) and out.dtype == np.float32
     np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+    # device_output keeps the result a jax.Array (no host fetch in the FID
+    # loop) with identical values, through the multi-chunk path too.
+    dev = sampler(z7, np.asarray(l7), np.asarray(f7), device_output=True)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(dev), out, atol=1e-6)
 
 
 def test_standing_stats_accumulate_and_reset():
