@@ -84,11 +84,17 @@ def _row_shift_impl(x, off, interpret):
     w0 = ((1.0 - f) * valid).astype(dtype)
     w1 = (f * valid).astype(dtype)
 
-    BR = min(256, max(8, B))
-    Bp = ((B + BR - 1) // BR) * BR
     # Aligned-load window: big enough for the rotated (L + 1) slice from any
     # 128-residual start.
     Lw = ((L + 2 + 127) // 128) * 128 + 128
+    # Row-block size, VMEM-aware: the input block is (BR, 3L + Lw + 1) and
+    # the output (BR, L); cap their combined footprint at ~6 MB so the
+    # double-buffered pipeline stays inside the ~16 MB scoped VMEM limit
+    # (256-row blocks OOM the compiler at 256² warp canvases).
+    bytes_per_row = (3 * L + Lw + 1 + L) * x.dtype.itemsize
+    BR = max(8, min(256, (6 * 1024 * 1024 // bytes_per_row) // 8 * 8))
+    BR = min(BR, max(8, B))
+    Bp = ((B + BR - 1) // BR) * BR
     # Zero pad: L left (negative starts); right up to base_max + Lw.
     xp = jnp.pad(x, ((0, Bp - B), (L, L + Lw)))
     starts = jnp.pad(kc + L, (0, Bp - B))  # in-bounds: [0, 2L]
