@@ -4,9 +4,10 @@ Reference: ``stylegan2_ada_pytorch/projector.py:36-66`` — optimize a single w
 (+ per-layer noise) to reconstruct a target, with LPIPS-VGG perceptual loss,
 noise regularization, and a cosine-ramped learning rate.
 
-Perceptual distance here uses InceptionV3 pool features (the VGG16-LPIPS
-weights the reference downloads are unavailable offline); pass a custom
-``feature_fn`` for a different metric.  The optimization itself is a jitted
+Perceptual distance: LPIPS-VGG (``models/vgg.py``) when a weight file is
+available (``$ICGAN_VGG16_WEIGHTS`` — this environment cannot download one),
+else InceptionV3 pool features as a documented substitute; pass a custom
+``feature_fn`` to override.  The optimization itself is a jitted
 Adam loop over (w, noise) — grad-through-synthesis comes for free.
 """
 
@@ -63,13 +64,22 @@ def project(
     num_ws = ws.shape[1]
 
     if feature_fn is None:
-        from ic_gan_tpu.eval.pipeline import InceptionEvaluator
+        import os
 
-        ev = InceptionEvaluator()
+        if os.environ.get("ICGAN_VGG16_WEIGHTS"):
+            # The reference's loss: LPIPS-VGG features, squared-L2
+            # (projector.py:68-76,119-121). Env-gated on the weight file.
+            from ic_gan_tpu.eval.metrics import make_lpips_feature_fn
 
-        def feature_fn(imgs):
-            pool, _ = ev.net.apply(ev.variables, imgs)
-            return pool
+            feature_fn = make_lpips_feature_fn()
+        else:
+            from ic_gan_tpu.eval.pipeline import InceptionEvaluator
+
+            ev = InceptionEvaluator()
+
+            def feature_fn(imgs):
+                pool, _ = ev.net.apply(ev.variables, imgs)
+                return pool
 
     target_feats = feature_fn(target[None])
 

@@ -67,6 +67,20 @@ def kid_from_features(
 # --- PPL ---------------------------------------------------------------------
 
 
+def make_lpips_feature_fn(weights_path: Optional[str] = None) -> Callable:
+    """LPIPS ``feature_fn`` for ``ppl_w`` / the projector.
+
+    Returns a function mapping [-1,1] NHWC images to LPIPS feature vectors
+    (squared L2 difference = LPIPS distance — the contract the reference's
+    ``vgg16(..., return_lpips=True)`` provides,
+    ``perceptual_path_length.py:112-116``). Weights env-gated via
+    ``$ICGAN_VGG16_WEIGHTS`` (``models/vgg.py``)."""
+    from ic_gan_tpu.models.vgg import LPIPSEvaluator
+
+    ev = LPIPSEvaluator(weights_path)
+    return ev.features
+
+
 def slerp(a: jax.Array, b: jax.Array, t) -> jax.Array:
     """Spherical interpolation (ref ``perceptual_path_length.py:25-35``)."""
     a_n = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
