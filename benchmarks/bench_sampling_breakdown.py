@@ -47,7 +47,11 @@ def main():
         ("attn@64  b256", BigGANConfig(G_attn="64", **base), 256),
         ("attn@64  b512", BigGANConfig(G_attn="64", **base), 512),
     ]:
-        rate, dt = measure(cfg, batch)
+        try:
+            rate, dt = measure(cfg, batch)
+        except Exception as e:  # b512 exceeds HBM at 256² — report, continue
+            print(f"{name}: failed ({type(e).__name__}: {str(e)[:120]}...)")
+            continue
         print(f"{name}: {rate:8.1f} img/s  ({dt*1e3:.1f} ms/batch)")
 
 

@@ -51,6 +51,12 @@ def main(resolution=128, ch=96, mb=32):
         "feats": jnp.asarray(rng.randn(1, mb, cfg.instance_sz), jnp.float32),
         "gen_feats": jnp.asarray(rng.randn(2, mb, cfg.instance_sz), jnp.float32),
     }
+    flops_total = None
+    try:
+        flops_total = (step.lower(state, batch, jax.random.PRNGKey(0))
+                       .compile().cost_analysis()["flops"])
+    except Exception:
+        pass
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     float(metrics["G_loss"])
 
@@ -63,8 +69,12 @@ def main(resolution=128, ch=96, mb=32):
         float(metrics["G_loss"])
         best = min(best, (time.perf_counter() - t0) / iters)
     # img/s counts dataset (D-real) images per second, the reference's metric.
+    mfu = ""
+    if flops_total:
+        tflops = flops_total / best / 1e12
+        mfu = f", {tflops:.1f} TFLOP/s = {tflops/197*100:.0f}% of v5e bf16 peak"
     print(f"biggan {resolution}^2 ch{ch} train: {mb/best:8.1f} img/s "
-          f"({best*1e3:.1f} ms/step @ microbatch {mb})")
+          f"({best*1e3:.1f} ms/step @ microbatch {mb}{mfu})")
 
 
 if __name__ == "__main__":
