@@ -66,8 +66,9 @@ def _pool(x, ksize, strides, padding, kind):
     summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides, padding)
     if padding == "VALID":
         return summed / np.prod(ksize)
-    ones = jnp.ones(x.shape[:1] + x.shape[1:], x.dtype)
-    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, window, strides, padding)
+    # TF AvgPool with SAME padding averages over in-bounds elements only.
+    counts = jax.lax.reduce_window(jnp.ones_like(x), 0.0, jax.lax.add,
+                                   window, strides, padding)
     return summed / counts
 
 
@@ -154,8 +155,8 @@ class TFGraphExecutor:
         if op == "BatchNormWithGlobalNormalization":
             x, m, v, beta, gamma = (ref(i) for i in ins[:5])
             eps = float(a["variance_epsilon"].f)
-            scale_after = bool(a.get("scale_after_normalization",
-                                     _TRUE).b)
+            scale_after = (bool(a["scale_after_normalization"].b)
+                           if "scale_after_normalization" in a else True)
             inv = jax.lax.rsqrt(v + eps)
             if scale_after:
                 inv = inv * gamma
@@ -196,13 +197,6 @@ class TFGraphExecutor:
             dims = tuple(a["squeeze_dims"].list_i) if "squeeze_dims" in a else None
             return jnp.squeeze(ref(ins[0]), axis=dims)
         raise NotImplementedError(f"op {op} (node {node.name})")
-
-
-class _TrueAttr:
-    b = True
-
-
-_TRUE = _TrueAttr()
 
 
 def _np_dtype(attr) -> np.dtype:

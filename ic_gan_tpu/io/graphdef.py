@@ -93,8 +93,8 @@ def _fields(buf: bytes):
             pos = _skip_field(buf, pos, wt)
 
 
-def _zigzag_ok_int64(v: int) -> int:
-    # proto int64 varints are two's-complement in 64 bits.
+def _to_signed64(v: int) -> int:
+    # proto int64 varints are two's-complement in 64 bits (not zigzag).
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
@@ -106,7 +106,7 @@ def _decode_dim(buf: bytes, span) -> int:
     size = 1
     for fnum, wt, val in _fields(buf[span[0]:span[1]]):
         if fnum == 1 and wt == 0:
-            size = _zigzag_ok_int64(val)
+            size = _to_signed64(val)
     return size
 
 
@@ -133,13 +133,13 @@ def _decode_tensor(buf: bytes) -> np.ndarray:
                 float_vals.extend(struct.unpack(f"<{len(raw)//4}f", raw))
         elif fnum in (7, 10, 11):
             if wt == 0:
-                int_vals.append(_zigzag_ok_int64(val))
+                int_vals.append(_to_signed64(val))
             elif wt == 2:  # packed
                 raw = buf[val[0]:val[1]]
                 pos = 0
                 while pos < len(raw):
                     v, pos = _read_varint(raw, pos)
-                    int_vals.append(_zigzag_ok_int64(v))
+                    int_vals.append(_to_signed64(v))
     if content is not None:
         arr = np.frombuffer(content, dtype=dtype)
     elif float_vals:
@@ -187,13 +187,13 @@ def _decode_attr_value(buf: bytes) -> AttrValue:
                     av.list_s.append(lv[v2[0]:v2[1]])
                 elif f2 == 3:
                     if w2 == 0:
-                        av.list_i.append(_zigzag_ok_int64(v2))
+                        av.list_i.append(_to_signed64(v2))
                     elif w2 == 2:  # packed
                         raw = lv[v2[0]:v2[1]]
                         pos = 0
                         while pos < len(raw):
                             x, pos = _read_varint(raw, pos)
-                            av.list_i.append(_zigzag_ok_int64(x))
+                            av.list_i.append(_to_signed64(x))
                 elif f2 == 4:
                     if w2 == 5:
                         av.list_f.append(struct.unpack("<f", lv[v2[0]:v2[1]])[0])
@@ -203,7 +203,7 @@ def _decode_attr_value(buf: bytes) -> AttrValue:
         elif fnum == 2 and wt == 2:
             av.s = buf[val[0]:val[1]]
         elif fnum == 3 and wt == 0:
-            av.i = _zigzag_ok_int64(val)
+            av.i = _to_signed64(val)
         elif fnum == 4 and wt == 5:
             av.f = struct.unpack("<f", buf[val[0]:val[1]])[0]
         elif fnum == 5 and wt == 0:

@@ -121,9 +121,10 @@ class CMAES:
         self.C = ((1 - c_total * (1 - (not hsig) * self.cc * (2 - self.cc))) * self.C
                   + self.c1 * rank1 + self.cmu * rank_mu)
         if self.active and np.any(self.neg_weights):
-            wneg = self.neg_weights / (-self.neg_weights.sum() + 1e-20)
-            y_bad = y[::-1]  # worst first
-            self.C -= 0.5 * self.cmu * (y_bad.T * wneg) @ y_bad
+            # neg_weights[i] grows in magnitude with rank i (worst members);
+            # y is already sorted best-first, so apply them aligned.
+            wneg = -self.neg_weights / (-self.neg_weights.sum() + 1e-20)
+            self.C -= 0.5 * self.cmu * (y.T * wneg) @ y
             # keep C positive definite enough
             diag = np.diag(self.C)
             if np.any(diag <= 0):
