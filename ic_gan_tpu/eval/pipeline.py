@@ -57,7 +57,8 @@ class InceptionEvaluator:
     (this environment cannot download the torchvision weights).
     """
 
-    def __init__(self, weights_path: Optional[str] = None, batch: int = 64):
+    def __init__(self, weights_path: Optional[str] = None, batch: int = 64,
+                 mesh=None):
         self.net = InceptionV3()
         self.batch = batch
         if weights_path and os.path.exists(weights_path):
@@ -76,6 +77,15 @@ class InceptionEvaluator:
                 )
             )()
             self.pretrained = False
+        # Pod-scale eval: replicate the net, shard image batches over the
+        # mesh's "data" axis — the 50k FID pass then scales across chips.
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.variables = jax.device_put(
+                self.variables, NamedSharding(mesh, P()))
+            self._batch_sharding = NamedSharding(mesh, P("data"))
         self._apply = jax.jit(self.net.apply)
 
     # evaluate_generator feature-detects this to keep features on device.
@@ -87,6 +97,8 @@ class InceptionEvaluator:
         ``device_output=True`` skips the host fetch — on the relay TPU each
         per-batch sync costs ~180 ms of round-trip latency and serializes
         the pipeline (measured 605 vs 5394 img/s through Inception)."""
+        if self._batch_sharding is not None:
+            images = jax.device_put(jnp.asarray(images), self._batch_sharding)
         pool, logits = self._apply(self.variables, images)
         if device_output:
             return pool, logits

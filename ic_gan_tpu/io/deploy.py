@@ -168,6 +168,7 @@ def make_sampler(
     batch_size: Optional[int] = None,
     fold: bool = True,
     dtype=None,
+    mesh=None,
     **apply_kwargs,
 ):
     """Return ``sampler(z, label=None, feats=None) -> np.ndarray`` running the
@@ -177,7 +178,11 @@ def make_sampler(
       the eval-mode power iterations otherwise serialize between convs);
     - optionally casts weights (``dtype=jnp.bfloat16``) to halve HBM traffic;
     - chunks arbitrary ``n`` into ``batch_size`` jit calls, padding the tail
-      chunk (one compiled executable regardless of request size).
+      chunk (one compiled executable regardless of request size);
+    - with ``mesh`` (a ``jax.sharding.Mesh`` with a ``"data"`` axis), weights
+      replicate and each chunk shards over the data axis — pod-scale
+      sampling for the 50k-image eval loops; ``batch_size`` must divide by
+      the data-axis size.
 
     This is the TPU equivalent of the reference's ``torch.no_grad`` sample
     closure (``inference/utils.py:176-265``).
@@ -186,7 +191,17 @@ def make_sampler(
         variables = fold_spectral_norm(variables)
     if dtype is not None:
         variables = cast_params(variables, dtype)
-    variables = jax.device_put(variables)
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        if batch_size:
+            assert batch_size % n_data == 0, (batch_size, n_data)
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        batch_sharding = NamedSharding(mesh, P("data"))
+    else:
+        variables = jax.device_put(variables)
 
     @jax.jit
     def run(v, z, label, feats):
@@ -207,15 +222,22 @@ def make_sampler(
         z = np.asarray(z)
         n = z.shape[0]
         bs = batch_size or n
+
+        def put(a):
+            if a is None:
+                return None
+            a = jnp.asarray(a)
+            return jax.device_put(a, batch_sharding) if batch_sharding else a
+
         outs = []
         for lo in range(0, n, bs):
             hi = min(lo + bs, n)
             pad = bs - (hi - lo)
             img = run(
                 variables,
-                jnp.asarray(_pad(z[lo:hi], pad)),
-                None if label is None else jnp.asarray(_pad(label[lo:hi], pad)),
-                None if feats is None else jnp.asarray(_pad(feats[lo:hi], pad)),
+                put(_pad(z[lo:hi], pad)),
+                put(None if label is None else _pad(label[lo:hi], pad)),
+                put(None if feats is None else _pad(feats[lo:hi], pad)),
             )
             img = img[: hi - lo]
             outs.append(img if device_output else np.asarray(img, np.float32))

@@ -1,0 +1,93 @@
+"""Pod-scale eval: the FID/IS loop sharded over the device mesh.
+
+The reference distributes metric computation by gathering per-rank features
+over NCCL (``metric_utils.py:120-130``); here the generator sampler and the
+Inception evaluator take a ``mesh`` and shard each batch over the ``data``
+axis — XLA inserts the collectives, and ``evaluate_generator`` runs
+unchanged. Verified on the 8-virtual-device CPU mesh against the unsharded
+path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ic_gan_tpu.eval.pipeline import InceptionEvaluator, evaluate_generator
+from ic_gan_tpu.io.deploy import make_sampler
+from ic_gan_tpu.models.biggan import BigGANConfig, Generator
+from ic_gan_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def toy_gen():
+    cfg = BigGANConfig(resolution=32, n_classes=10, G_ch=8, dim_z=20,
+                       G_attn="0", shared_dim=16, shared_dim_feat=24,
+                       instance_sz=32)
+    g = Generator(cfg)
+    z = jnp.zeros((4, cfg.effective_dim_z))
+    feats = jnp.zeros((4, cfg.instance_sz))
+    variables = jax.jit(
+        lambda: g.init(jax.random.PRNGKey(0), z, None, feats))()
+    return g, variables, cfg
+
+
+def _fixed_conditioning(cfg, n):
+    rng = np.random.RandomState(0)
+    z = rng.randn(n, cfg.effective_dim_z).astype(np.float32)
+    feats = rng.randn(n, cfg.instance_sz).astype(np.float32)
+    return z, feats
+
+
+def _run_eval(g, variables, cfg, mesh, num_images=64, batch=16):
+    sampler = make_sampler(g, variables, batch_size=batch, mesh=mesh)
+    evaluator = InceptionEvaluator(mesh=mesh)
+    z_all, feats_all = _fixed_conditioning(cfg, num_images)
+    state = {"lo": 0}
+
+    def sample_fn(b):
+        lo = state["lo"]
+        state["lo"] += b
+        imgs = sampler(z_all[lo:lo + b], None, feats_all[lo:lo + b],
+                       device_output=True)
+        return imgs, None
+
+    rng = np.random.RandomState(1)
+    ref_pool = rng.randn(256, 2048).astype(np.float64) * 0.05
+    ref_mu, ref_sigma = ref_pool.mean(0), np.cov(ref_pool, rowvar=False)
+    return evaluate_generator(sample_fn, evaluator, ref_mu, ref_sigma,
+                              num_images=num_images, batch=batch)
+
+
+def test_sharded_eval_matches_single_device(toy_gen):
+    g, variables, cfg = toy_gen
+    mesh = make_mesh()
+    assert mesh.shape["data"] >= 2  # conftest provides 8 virtual devices
+    sharded = _run_eval(g, variables, cfg, mesh)
+    plain = _run_eval(g, variables, cfg, None)
+    assert np.isfinite(sharded["FID"])
+    np.testing.assert_allclose(sharded["FID"], plain["FID"], rtol=2e-3)
+    np.testing.assert_allclose(sharded["IS_mean"], plain["IS_mean"], rtol=1e-4)
+
+
+def test_sharded_sampler_output_is_data_sharded(toy_gen):
+    g, variables, cfg = toy_gen
+    mesh = make_mesh()
+    sampler = make_sampler(g, variables, batch_size=16, mesh=mesh)
+    z, feats = _fixed_conditioning(cfg, 16)
+    imgs = sampler(z, None, feats, device_output=True)
+    assert imgs.shape == (16, 32, 32, 3)
+    spec = imgs.sharding.spec
+    assert spec and spec[0] == "data"  # batch axis sharded over the mesh
+
+
+def test_sharded_sampler_pads_tail_chunk(toy_gen):
+    g, variables, cfg = toy_gen
+    mesh = make_mesh()
+    sampler = make_sampler(g, variables, batch_size=16, mesh=mesh)
+    z, feats = _fixed_conditioning(cfg, 24)  # 16 + padded 8
+    imgs = sampler(z, None, feats)
+    assert imgs.shape == (24, 32, 32, 3)
+    full = make_sampler(g, variables, batch_size=24)(z, None, feats)
+    np.testing.assert_allclose(imgs, full, atol=2e-5)
