@@ -246,3 +246,81 @@ def make_sampler(
         return jnp.concatenate(outs) if device_output else np.concatenate(outs)
 
     return sampler
+
+
+def export_sampler(
+    g_module,
+    variables: Dict[str, Any],
+    batch_size: int,
+    *,
+    fold: bool = True,
+    dtype=None,
+    platforms=None,
+    **apply_kwargs,
+) -> bytes:
+    """Serialize the deployment sampler as a self-contained AOT artifact.
+
+    The σ-folded (optionally bf16-cast) weights are baked into the program
+    as constants and the whole fixed-batch forward is exported via
+    ``jax.export`` to portable StableHLO bytes — a serving process
+    rehydrates with ``load_exported_sampler`` and never needs model code,
+    checkpoint converters, or tracing. (The reference has no serving story
+    beyond pickled modules; this is the TPU-native production artifact.)
+
+    ``platforms``: lowering targets (default: current backend), e.g.
+    ``["tpu"]`` to export for TPU from a CPU host.
+    """
+    from jax import export as jax_export
+
+    if fold and "sn" in variables:
+        variables = fold_spectral_norm(variables)
+    if dtype is not None:
+        variables = cast_params(variables, dtype)
+    # jax.device_get → plain numpy leaves; closed over, they become program
+    # constants in the exported module.
+    variables = jax.device_get(variables)
+
+    sig = _sampler_signature(g_module, variables, batch_size)
+
+    def run(z, label, feats):
+        return g_module.apply(variables, z, label, feats, train=False,
+                              **apply_kwargs)
+
+    args = tuple(jax.ShapeDtypeStruct(s, d) for s, d in sig)
+    exp = jax_export.export(jax.jit(run), platforms=platforms)(*args)
+    return bytes(exp.serialize())
+
+
+def _sampler_signature(g_module, variables, batch_size):
+    cfg = g_module.cfg
+    sig = [((batch_size, cfg.effective_dim_z), jnp.float32)]
+    n_label = (batch_size,) if getattr(cfg, "class_cond", False) else None
+    sig.append(((batch_size,), jnp.int32) if n_label else ((batch_size, 0), jnp.int32))
+    inst = getattr(cfg, "instance_cond", False)
+    sig.append(((batch_size, cfg.instance_sz), jnp.float32) if inst
+               else ((batch_size, 0), jnp.float32))
+    return sig
+
+
+def load_exported_sampler(data: bytes) -> Callable:
+    """Rehydrate an ``export_sampler`` artifact.
+
+    Returns ``sampler(z, label=None, feats=None) -> images`` with the
+    batch/conditioning signature baked at export time; ``None`` conditioning
+    is replaced by the zero-width placeholders the export carries.
+    """
+    from jax import export as jax_export
+
+    exp = jax_export.deserialize(data)
+    (z_spec, label_spec, feats_spec) = exp.in_avals
+
+    def sampler(z, label=None, feats=None):
+        if label is None:
+            label = jnp.zeros(label_spec.shape, label_spec.dtype)
+        if feats is None:
+            feats = jnp.zeros(feats_spec.shape, feats_spec.dtype)
+        return exp.call(jnp.asarray(z, z_spec.dtype),
+                        jnp.asarray(label), jnp.asarray(feats))
+
+    sampler.in_avals = exp.in_avals
+    return sampler
