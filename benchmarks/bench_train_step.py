@@ -7,6 +7,10 @@ Reference point (BASELINE.md): the reference's shipped 8×V100 log
 img/itr ≈ 23 img/s per V100.  Here: one jitted train step (D step + G step,
 scan microbatch accumulation, EMA, SN updates inside) at the reference's
 128² ch96 geometry, microbatch sized for one v5e chip.
+
+Measured microbatch scaling on the chip (2026-08-17): mb32 → 275 img/s
+(27% MFU), mb64 → 303 (30%), mb128 → 332 (33%) — pick the largest
+microbatch that fits when accumulating to the reference's 2048 global batch.
 """
 
 import time
