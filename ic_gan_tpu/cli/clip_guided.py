@@ -246,7 +246,7 @@ def main(argv=None):
 
     out = clip_guided_search(
         generate, encode_image, text_features,
-        z_dim=model_cfg.dim_z,
+        z_dim=getattr(model_cfg, "effective_dim_z", model_cfg.dim_z),
         optimizer=cfg.get("optimizer", "CMA-ES"),
         pop_size=cfg.get("pop_size", 50),
         iterations=cfg.get("iterations", 100),

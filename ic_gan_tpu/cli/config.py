@@ -81,6 +81,16 @@ CONSUMED_KEYS = {
     # multi-host bootstrap (cli/train.py; replaces the SLURM tcp://
     # rendezvous of the reference)
     "jax_distributed", "coordinator_address", "num_processes", "process_id",
+    # CLIP-guided sampling (cli/clip_guided.py; the colab's knobs)
+    "prompt", "clip_weights", "bpe_path", "instance_features_npy",
+    "input_feature_index", "class_index", "optimizer", "pop_size",
+    "iterations", "terminal_iterations", "truncation", "augmentations",
+    "learning_rate", "noise_normality_loss", "out",
+    # official TF1 eval (cli/official_eval.py)
+    "pb_path", "samples", "pool_npz", "use_ground_truth_data", "fid_a",
+    "fid_b",
+    # TFHub conversion (cli/convert_tfhub.py)
+    "dump", "pth_out", "sample_grid", "sample_batch", "no_ema",
 }
 
 # StyleGAN2 front-end keys consumed by cli/train_stylegan2.py::setup_configs.
