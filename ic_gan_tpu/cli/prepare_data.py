@@ -60,7 +60,9 @@ def iter_image_folder(root: str, resolution: int, batch: int = 256):
 
 def build_xy_hdf5(image_iter, out_path: str, chunk: int = 500):
     """Stream images/labels into ``*_xy.hdf5`` (uint8 CHW + int64, chunked —
-    ref ``make_hdf5.py:254-330``)."""
+    ref ``make_hdf5.py:254-330``; same chunk-500 layout, which benchmarks
+    fastest for batch gathers once reads go through
+    ``HDF5Dataset._read_h5_rows`` — see ``benchmarks/bench_dataloader.py``)."""
     import os
 
     import h5py
