@@ -229,10 +229,27 @@ class HDF5Dataset:
         idxs = np.asarray(idxs).reshape(-1)
         if not self.load_features:
             return np.zeros((len(idxs), self._feature_dim), np.float32)
-        feats = self.feats[idxs]
-        if self.feature_augmentation and self.feats_hflip is not None:
+        if self.feats is not None:
+            feats = self.feats[idxs]
+            hflip_bank = self.feats_hflip
+            hflip = None if hflip_bank is None else hflip_bank[idxs]
+        else:
+            # load_in_mem_feats=False: row-gather from the feature hdf5
+            # (ref datasets_common.py keeps an open h5 per worker); the
+            # in-mem path pre-normalizes at load, so normalize here.
+            with self._h5.File(self.root_feats, "r") as f:
+                feats = self._read_h5_rows(f["feats"], idxs)
+                hflip = (self._read_h5_rows(f["feats_hflip"], idxs)
+                         if self.feature_augmentation and "feats_hflip" in f
+                         else None)
+            feats = feats / np.maximum(
+                np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+            if hflip is not None:
+                hflip = hflip / np.maximum(
+                    np.linalg.norm(hflip, axis=1, keepdims=True), 1e-12)
+        if self.feature_augmentation and hflip is not None:
             flip = self.rng.integers(0, 2, size=len(idxs)).astype(bool)
-            feats = np.where(flip[:, None], self.feats_hflip[idxs], feats)
+            feats = np.where(flip[:, None], hflip, feats)
         return feats.astype(np.float32)
 
     def _one_hot(self, labels):

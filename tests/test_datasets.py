@@ -195,3 +195,21 @@ def test_cached_real_features_roundtrip(hdf5_dir, tmp_path, monkeypatch):
 
     with _pytest.raises(AssertionError, match="re-read"):
         cached_real_features(ds, ev, str(tmp_path), n_items=8, batch=8)
+
+
+def test_disk_backed_features_match_in_mem(hdf5_dir):
+    """load_in_mem_feats=False reads feature rows from the hdf5 per batch
+    (ref datasets_common keeps per-worker h5 handles) — values must equal
+    the pre-normalized in-mem bank, duplicates and random order included."""
+    mem = make_ds(hdf5_dir, load_in_mem_feats=True)
+    disk = make_ds(hdf5_dir, load_in_mem_feats=False)
+    idxs = np.asarray([5, 1, 5, 9, 0])  # unsorted + duplicate
+    np.testing.assert_allclose(
+        disk.get_instance_features(idxs), mem.get_instance_features(idxs),
+        rtol=1e-6)
+    # hflip augmentation path also runs from disk
+    disk_aug = make_ds(hdf5_dir, load_in_mem_feats=False,
+                       feature_augmentation=True)
+    out = disk_aug.get_instance_features(idxs)
+    assert out.shape == (5, F)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
