@@ -122,24 +122,31 @@ def clip_guided_search(
         imgs = generate(z)  # (P, S, S, 3) in [-1, 1]
         P, S = imgs.shape[0], imgs.shape[1]
         n_aug = 1 if S <= clip_res else augmentations
+
+        def cos_of(crops):  # (P, clip, clip, 3) → (P,) prompt-mean cosine
+            emb = encode_image((crops + 1.0) / 2.0)
+            return jnp.einsum("pd,td->p", emb,
+                              text_features) / text_features.shape[0]
+
         if n_aug == 1:
-            starts = jnp.zeros((P, 2))
-            sizes = jnp.full((P,), float(S))
-            crops = crop_resize_bilinear(imgs, clip_res, starts, sizes)
-            crops = crops[:, None]  # (P, 1, ...)
-        else:
-            k1, k2 = jax.random.split(key)
-            sizes = jax.random.uniform(k1, (P, n_aug),
-                                       minval=0.7 * S, maxval=0.98 * S)
-            offs = jax.random.uniform(k2, (P, n_aug, 2)) * (S - sizes[..., None])
-            flat = jnp.repeat(imgs, n_aug, axis=0)
             crops = crop_resize_bilinear(
-                flat, clip_res, offs.reshape(-1, 2), sizes.reshape(-1))
-            crops = crops.reshape(P, n_aug, clip_res, clip_res, 3)
-        emb = encode_image(((crops + 1.0) / 2.0).reshape(-1, clip_res, clip_res, 3))
-        emb = emb.reshape(crops.shape[0], crops.shape[1], -1)
-        cos = jnp.einsum("pad,td->pa", emb, text_features) / text_features.shape[0]
-        loss = loss_factor * (1.0 - jnp.mean(cos, axis=1))  # (P,)
+                imgs, clip_res, jnp.zeros((P, 2)), jnp.full((P,), float(S)))
+            cos = cos_of(crops)
+        else:
+            # One aug per scan step: peak memory is one (P, clip, clip, 3)
+            # CLIP batch, not the colab-default P·A=3200 at once.
+            def one_aug(acc, key_a):
+                k1, k2 = jax.random.split(key_a)
+                sizes = jax.random.uniform(k1, (P,), minval=0.7 * S,
+                                           maxval=0.98 * S)
+                offs = jax.random.uniform(k2, (P, 2)) * (S - sizes[:, None])
+                crops = crop_resize_bilinear(imgs, clip_res, offs, sizes)
+                return acc + cos_of(crops), None
+
+            cos, _ = jax.lax.scan(one_aug, jnp.zeros((P,)),
+                                  jax.random.split(key, n_aug))
+            cos = cos / n_aug
+        loss = loss_factor * (1.0 - cos)  # (P,)
         if noise_normality_weight:
             loss = loss + loss_factor * noise_normality_weight * normality_loss(z)
         return loss, imgs
