@@ -248,3 +248,40 @@ def test_official_eval_cli_end_to_end(tmp_path):
         f"fid_b={tmp_path/'TF_pool2.npz'}",
     ])
     assert res["FID"] > 0
+
+
+def test_official_eval_ground_truth_stratified(tmp_path):
+    """GT mode: read the _xy.hdf5, write the reference's moment filename,
+    plus ImageNet-LT many/low/few stratified moments
+    (inception_tf13.py:271-320)."""
+    import h5py
+
+    from ic_gan_tpu.cli import official_eval
+
+    pb, _ = _mini_graph(12)
+    pb_path = tmp_path / "graph.pb"
+    pb_path.write_bytes(pb)
+
+    rng = np.random.RandomState(13)
+    n = 30
+    imgs = rng.randint(0, 255, (n, 3, 8, 8), dtype=np.uint8)
+    labels = rng.randint(0, 3, n)
+    with h5py.File(tmp_path / "ILSVRC8_val_xy.hdf5", "w") as f:
+        f.create_dataset("imgs", data=imgs)
+        f.create_dataset("labels", data=labels)
+    # class 0: many (>=100), class 1: low (21..99), class 2: few (<=20)
+    np.save(tmp_path / "spc.npy", np.asarray([150, 50, 10]))
+
+    out = official_eval.main([
+        "--set", "use_ground_truth_data=1", f"data_root={tmp_path}",
+        "which_dataset=imagenet_lt", "resolution=8", "split=val",
+        f"pb_path={pb_path}", f"out_dir={tmp_path}", "batch_size=16",
+        f"samples_per_class_path={tmp_path/'spc.npy'}",
+    ])
+    assert np.isfinite(out["IS_mean"])
+    base = np.load(tmp_path / "imagenet_lt_val_res8_tf_inception_moments_ground_truth.npz")
+    assert base["mu"].shape == (8,)
+    for strat in ("_many", "_low", "_few"):
+        m = np.load(tmp_path /
+                    f"imagenet_lt_res8_tf_inception_moments_ground_truth{strat}.npz")
+        assert m["mu"].shape == (8,) and np.isfinite(m["mu"]).all()
