@@ -232,6 +232,13 @@ def main(argv=None):
                                    method=clip_net.encode_text)
 
     gen, variables, model_cfg = load_generator(cfg)
+    # Deployment mode: z-search never differentiates the weights, so fold
+    # σ into the kernels — the SN-live eval graph is both slower and
+    # pathologically slow to compile on the relay backend (CLAUDE.md).
+    from ic_gan_tpu.io.deploy import fold_spectral_norm
+
+    if "sn" in variables:
+        variables = fold_spectral_norm(variables)
     feats = None
     if cfg.get("instance_features_npy"):
         bank = np.load(cfg["instance_features_npy"], allow_pickle=True).item()

@@ -37,7 +37,16 @@ from ic_gan_tpu.ops.spectral_norm import spectral_normalize
 def fold_spectral_norm(variables: Dict[str, Any]) -> Dict[str, Any]:
     """Return variables with every spectrally-normalized kernel divided by its
     σ and the ``sn`` collection removed.  Use with models built with
-    ``sn_folded=True`` (BigGANConfig) so layers skip the power iteration."""
+    ``sn_folded=True`` (BigGANConfig) so layers skip the power iteration.
+
+    The whole fold runs as ONE jitted executable: un-jitted it dispatches a
+    handful of tiny ops per SN module (~50 modules in a BigGAN G), and on
+    the relay TPU backend each dispatch costs a network round trip —
+    minutes of latency for a loop that is otherwise milliseconds."""
+    return jax.jit(_fold_spectral_norm_impl)(variables)
+
+
+def _fold_spectral_norm_impl(variables: Dict[str, Any]) -> Dict[str, Any]:
     params = variables["params"]
     sn = variables.get("sn", {})
 
