@@ -201,3 +201,20 @@ def test_guided_search_crop_augmentations():
         pop_size=6, iterations=4, terminal_iterations=0,
         augmentations=3, clip_res=16, seed=2)
     assert np.isfinite(out["best_loss"])
+
+
+def test_cmaes_diagonal_mode_converges():
+    target = np.array([0.5, -1.0, 2.0])
+    es = CMAES(np.zeros(3), 1.0, popsize=12, seed=7, diagonal=True)
+    for _ in range(100):
+        xs = es.ask()
+        es.tell(xs, [float(np.sum((x - target) ** 2)) for x in xs])
+    assert es.best_f < 1e-3
+
+
+def test_cmaes_no_sigma_adaptation_keeps_sigma():
+    es = CMAES(np.zeros(3), 0.8, popsize=8, seed=8, adapt_sigma=False)
+    for _ in range(5):
+        xs = es.ask()
+        es.tell(xs, [float(np.sum(x ** 2)) for x in xs])
+    assert es.sigma == 0.8

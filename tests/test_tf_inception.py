@@ -285,3 +285,26 @@ def test_official_eval_ground_truth_stratified(tmp_path):
         m = np.load(tmp_path /
                     f"imagenet_lt_res8_tf_inception_moments_ground_truth{strat}.npz")
         assert m["mu"].shape == (8,) and np.isfinite(m["mu"]).all()
+
+
+def test_tensorproto_splat_and_packed_values():
+    """Parser edge cases the frozen graphs use: splat-encoded constants
+    (single float_val broadcast over the shape) and packed int lists."""
+    from ic_gan_tpu.io.graphdef import (
+        _decode_tensor, _ld, _tag, _varint, encode_node,
+    )
+    import struct
+
+    # splat: dtype float, shape (2,3), one float_val
+    payload = (_tag(1, 0) + _varint(1)
+               + _ld(2, _ld(2, _tag(1, 0) + _varint(2))
+                     + _ld(2, _tag(1, 0) + _varint(3)))
+               + _tag(5, 5) + struct.pack("<f", 2.5))
+    arr = _decode_tensor(payload)
+    assert arr.shape == (2, 3)
+    np.testing.assert_array_equal(arr, np.full((2, 3), 2.5, np.float32))
+
+    # negative int64 attr round-trips through two's-complement varint
+    node = encode_node("n", "Op", [], {"i": {"i": -7}})
+    parsed = parse_graphdef(b"\x0a" + bytes([len(node)]) + node)
+    assert parsed[0].attrs["i"].i == -7
