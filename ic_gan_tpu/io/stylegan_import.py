@@ -319,8 +319,14 @@ def load_network_pkl(path: str):
     """
     import sys
 
-    with open(path, "rb") as f:
-        data = _StubUnpickler(f).load()
+    # Torch persistence snapshots reference torch_utils.persistence /
+    # torch storage classes the stub unpickler cannot resolve — any failure
+    # here means "not a legacy TF pickle", so fall through to the torch path.
+    try:
+        with open(path, "rb") as f:
+            data = _StubUnpickler(f).load()
+    except Exception:
+        data = None
     if (
         isinstance(data, tuple)
         and len(data) == 3

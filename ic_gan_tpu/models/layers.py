@@ -245,7 +245,10 @@ class CrossReplicaBatchNorm(nn.Module):
         )
 
         if train or standing:
-            xf = x.astype(jnp.float32)
+            # f32 *minimum* for stats (ref manual_bn, layers.py:266-283);
+            # promote-don't-demote so x64 debug runs (used by the n-vs-1
+            # equivalence checks) keep full precision.
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             m = jnp.mean(xf, axis=(0, 1, 2))
             m2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
             if self.axis_name is not None:
@@ -277,7 +280,7 @@ class CrossReplicaBatchNorm(nn.Module):
 
         inv = jax.lax.rsqrt(v + self.eps)
         if train or standing or x.dtype == jnp.float32:
-            y = (x.astype(jnp.float32) - mean) * inv
+            y = (x.astype(jnp.promote_types(x.dtype, jnp.float32)) - mean) * inv
             return y.astype(x.dtype)
         # Low-precision eval: stats stay float32 but the (large, elementwise)
         # normalization runs in the compute dtype so XLA fuses it with the
@@ -378,7 +381,7 @@ class SelfAttention(nn.Module):
         from ic_gan_tpu.ops.pallas import attention as pallas_attn
 
         if jax.default_backend() == "tpu" and pallas_attn.supported(
-            H * W, H * W // 4
+            H * W, H * W // 4, ch // 8, ch // 2
         ):
             # Fused Pallas path: the (N, HW, HW/4) logits stay in VMEM — one
             # MXU dot, exact f32 softmax, second dot, no HBM round-trip.

@@ -118,6 +118,22 @@ def _sagan_bwd(interpret, res, do):
 sagan_attention.defvjp(_sagan_fwd, _sagan_bwd)
 
 
-def supported(Lq: int, Lk: int) -> bool:
-    """Shapes the kernel handles without padding (all BigGAN attn stages)."""
-    return Lq % min(512, Lq) == 0 and Lq % 128 == 0 and Lk % 128 == 0
+def supported(Lq: int, Lk: int, d: int = 128, dv: int = 128) -> bool:
+    """Shapes the kernel handles (all BigGAN attn stages; bench-pinned at
+    production widths d=24/48, dv=96/192 on real TPU — see
+    ``benchmarks/bench_attention.py``).
+
+    Checks Lq/Lk tile alignment plus a VMEM-footprint bound: Mosaic pads the
+    minor dim to the 128-lane tile, so the resident blocks cost
+    (BQ+2·Lk)·pad(d,dv) inputs + BQ·Lk f32 logits + BQ·pad(dv) output; keep
+    that under ~12 MB of the ~16 MB VMEM."""
+    if not (Lq % min(512, Lq) == 0 and Lq % 128 == 0 and Lk % 128 == 0):
+        return False
+    pad = lambda x: max(128, -(-x // 128) * 128)
+    BQ = min(512, Lq)
+    vmem = 4 * (
+        BQ * pad(d) + Lk * pad(d) + Lk * pad(dv)  # θ tile, φ, g (≤f32)
+        + BQ * Lk                                  # f32 logit tile
+        + BQ * pad(dv)                             # output tile
+    )
+    return vmem <= 12 * 1024 * 1024

@@ -117,9 +117,13 @@ class CMAES:
                    + hsig * np.sqrt(self.cc * (2 - self.cc) * self.mueff) * y_w)
         rank1 = np.outer(self.pc, self.pc)
         rank_mu = (y.T * self.weights) @ y
-        c_total = self.c1 + self.cmu
-        self.C = ((1 - c_total * (1 - (not hsig) * self.cc * (2 - self.cc))) * self.C
-                  + self.c1 * rank1 + self.cmu * rank_mu)
+        # hsig correction rides the c1 (rank-one) term only — Hansen's
+        # tutorial eq. (47): C ← (1−c1−cmu)C + c1[pc pcᵀ + (1−hsig)cc(2−cc)C]
+        # + cmu·rank_mu.
+        self.C = ((1 - self.c1 - self.cmu) * self.C
+                  + self.c1 * (rank1
+                               + (not hsig) * self.cc * (2 - self.cc) * self.C)
+                  + self.cmu * rank_mu)
         if self.active and np.any(self.neg_weights):
             # neg_weights[i] grows in magnitude with rank i (worst members);
             # y is already sorted best-first, so apply them aligned.

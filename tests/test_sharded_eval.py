@@ -71,6 +71,16 @@ def test_sharded_eval_matches_single_device(toy_gen):
     np.testing.assert_allclose(sharded["IS_mean"], plain["IS_mean"], rtol=1e-4)
 
 
+def test_sharded_eval_indivisible_tail(toy_gen):
+    """A tail batch smaller than the mesh's data axis (52 % 16 = 4 < 8
+    devices) must pad-and-drop instead of raising in device_put."""
+    g, variables, cfg = toy_gen
+    mesh = make_mesh()
+    out = _run_eval(g, variables, cfg, mesh, num_images=52, batch=16)
+    plain = _run_eval(g, variables, cfg, None, num_images=52, batch=16)
+    np.testing.assert_allclose(out["FID"], plain["FID"], rtol=2e-3)
+
+
 def test_sharded_sampler_output_is_data_sharded(toy_gen):
     g, variables, cfg = toy_gen
     mesh = make_mesh()

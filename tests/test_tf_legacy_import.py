@@ -217,6 +217,39 @@ def test_tf_pickle_matches_reference_oracle(tf_pickle_path):
                 got[key], want[key], atol=0, rtol=0, err_msg=f"{name}/{key}")
 
 
+def test_torch_persistence_snapshot_loads(tmp_path):
+    """Torch persistence snapshots (ref ``training_loop.py:618-646``) must
+    fall through the stub unpickler (whose ``find_class`` cannot resolve
+    ``torch_utils.persistence`` classes) to the torch branch — regression
+    test for the round-2 stub-first change that made this path crash."""
+    from training import networks
+
+    from ic_gan_tpu.io.stylegan_import import load_network_pkl
+
+    G = networks.Generator(
+        z_dim=ZDIM, c_dim=0, w_dim=WDIM, h_dim=0, img_resolution=RES,
+        img_channels=3,
+        mapping_kwargs=dict(num_layers=2),
+        synthesis_kwargs=dict(channel_base=2 * FMAP_BASE,
+                              channel_max=FMAP_MAX, num_fp16_res=0,
+                              conv_clamp=None),
+    )
+    path = tmp_path / "network-snapshot.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"G_ema": G}, f)
+
+    out = load_network_pkl(str(path))
+    assert "G_ema" in out
+    variables, kw = out["G_ema"]
+    assert kw["img_resolution"] == RES and kw["z_dim"] == ZDIM
+    flat = _flatten(variables)
+    # Converter drops constant resample_filter buffers; spot-check a real
+    # weight survives with the (in, out) layout flip.
+    want = G.state_dict()["mapping.fc0.weight"].detach().numpy().T
+    got = flat[("params", "mapping", "fc0", "weight")]
+    assert np.allclose(got, want)
+
+
 def test_tf_generator_forward_parity(tf_pickle_path):
     import jax
     import jax.numpy as jnp
