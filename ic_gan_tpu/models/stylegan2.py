@@ -44,6 +44,13 @@ def normalize_2nd_moment(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + eps)
 
 
+def _f32p(x: jax.Array) -> jax.Array:
+    """At-least-f32: promote, never demote.  Identical to ``astype(float32)``
+    for the production f32/bf16 dtypes; keeps f64 intact so the x64
+    sharded-vs-single equivalence checks (``__graft_entry__``) are exact."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def modulated_conv2d(
     x: jax.Array,          # (N, H, W, I)
     weight: jax.Array,     # (kh, kw, I, O)
@@ -70,9 +77,9 @@ def modulated_conv2d(
 
     dcoefs = None
     if demodulate:
-        w2 = jnp.sum(jnp.square(weight.astype(jnp.float32)), axis=(0, 1))  # (I, O)
+        w2 = jnp.sum(jnp.square(_f32p(weight)), axis=(0, 1))  # (I, O)
         dcoefs = jax.lax.rsqrt(
-            jnp.square(styles.astype(jnp.float32)) @ w2 + 1e-8
+            jnp.square(_f32p(styles)) @ w2 + 1e-8
         )  # (N, O)
 
     x = x * styles.astype(x.dtype)[:, None, None, :]
@@ -208,15 +215,15 @@ class MappingNetwork(nn.Module):
 
         x = None
         if self.z_dim > 0:
-            x = normalize_2nd_moment(z.astype(jnp.float32))
+            x = normalize_2nd_moment(_f32p(z))
         if self.c_dim > 0 and self.h_dim > 0:
             y = jnp.concatenate(
                 [
                     FullyConnected(embed_features, name="embed")(
-                        c.astype(jnp.float32)
+                        _f32p(c)
                     ),
                     FullyConnected(embed_features_feat, name="embed_feats")(
-                        h.astype(jnp.float32)
+                        _f32p(h)
                     ),
                 ],
                 axis=-1,
@@ -225,13 +232,13 @@ class MappingNetwork(nn.Module):
             x = jnp.concatenate([x, y], axis=-1) if x is not None else y
         elif self.c_dim > 0:
             y = normalize_2nd_moment(
-                FullyConnected(embed_features, name="embed")(c.astype(jnp.float32))
+                FullyConnected(embed_features, name="embed")(_f32p(c))
             )
             x = jnp.concatenate([x, y], axis=-1) if x is not None else y
         elif self.h_dim > 0:
             y = normalize_2nd_moment(
                 FullyConnected(embed_features_feat, name="embed_feats")(
-                    h.astype(jnp.float32)
+                    _f32p(h)
                 )
             )
             x = jnp.concatenate([x, y], axis=-1) if x is not None else y
@@ -380,7 +387,8 @@ class SynthesisBlock(nn.Module):
     @nn.compact
     def __call__(self, x, img, ws, noise_mode: str = "random",
                  force_fp32: bool = False):
-        dtype = jnp.bfloat16 if (self.use_fp16 and not force_fp32) else jnp.float32
+        dtype = (jnp.bfloat16 if (self.use_fp16 and not force_fp32)
+                 else jnp.promote_types(ws.dtype, jnp.float32))
         w_idx = 0
 
         def next_w():
@@ -429,7 +437,7 @@ class SynthesisBlock(nn.Module):
                 self.img_channels, w_dim=self.w_dim, conv_clamp=self.conv_clamp,
                 dtype=dtype, name="torgb",
             )(x, next_w())
-            y = y.astype(jnp.float32)
+            y = _f32p(y)
             img = img + y if img is not None else y
         return x, img
 
@@ -465,7 +473,7 @@ class SynthesisNetwork(nn.Module):
     @nn.compact
     def __call__(self, ws, noise_mode: str = "random", force_fp32: bool = False):
         fp16_res = max(2 ** (int(np.log2(self.img_resolution)) + 1 - self.num_fp16_res), 8)
-        ws = ws.astype(jnp.float32)
+        ws = _f32p(ws)
         x = img = None
         w_idx = 0
         for res in self.block_resolutions:
@@ -573,7 +581,7 @@ def minibatch_std(x, group_size: Optional[int] = 4, num_channels: int = 1):
     G = min(group_size, N) if group_size is not None else N
     F = num_channels
     c = C // F
-    y = x.reshape(G, N // G, H, W, F, c).astype(jnp.float32)
+    y = _f32p(x.reshape(G, N // G, H, W, F, c))
     y = y - jnp.mean(y, axis=0, keepdims=True)
     y = jnp.mean(jnp.square(y), axis=0)
     y = jnp.sqrt(y + 1e-8)
@@ -598,7 +606,9 @@ class DiscriminatorBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, img, force_fp32: bool = False):
-        dtype = jnp.bfloat16 if (self.use_fp16 and not force_fp32) else jnp.float32
+        base = img.dtype if img is not None else x.dtype
+        dtype = (jnp.bfloat16 if (self.use_fp16 and not force_fp32)
+                 else jnp.promote_types(base, jnp.float32))
         if x is not None:
             x = x.astype(dtype)
         if self.in_features == 0 or self.architecture == "skip":
@@ -657,17 +667,17 @@ class DiscriminatorEpilogue(nn.Module):
 
     @nn.compact
     def __call__(self, x, img, cmap):
-        x = x.astype(jnp.float32)
+        x = _f32p(x)
         if self.architecture == "skip":
             x = x + Conv2d(
                 self.in_features, kernel_size=1, activation=self.activation,
-                name="fromrgb",
-            )(img.astype(jnp.float32))
+                dtype=x.dtype, name="fromrgb",
+            )(_f32p(img))
         if self.mbstd_num_channels > 0:
             x = minibatch_std(x, self.mbstd_group_size, self.mbstd_num_channels)
         x = Conv2d(
             self.in_features, kernel_size=3, activation=self.activation,
-            conv_clamp=self.conv_clamp, name="conv",
+            conv_clamp=self.conv_clamp, dtype=x.dtype, name="conv",
         )(x)
         # Flatten matching torch NCHW.flatten(1) ordering: (C,H,W).
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)

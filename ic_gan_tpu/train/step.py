@@ -95,6 +95,7 @@ def make_train_step(
     d_apply: Callable,
     cfg: TrainConfig,
     dim_z: int,
+    debug_grads: bool = False,
 ):
     """Build the jittable train step.
 
@@ -204,6 +205,10 @@ def make_train_step(
                     jnp.add, grads, ortho_grad_term(d_params, cfg.D_ortho)
                 )
             grads, d_nonfinite = scrub_grads(grads)
+            if debug_grads:
+                # Raw (pre-optimizer) grads: Adam normalizes away scale, so
+                # sharded-vs-single equivalence must be asserted here.
+                metrics["d_grads"] = grads
             updates, d_opt_state = d_tx.update(grads, d_opt_state, d_params)
             d_params = optax.apply_updates(d_params, updates)
             metrics["D_loss_real"] = jnp.mean(lr_hist)
@@ -243,6 +248,8 @@ def make_train_step(
             )
         g_grads, g_nonfinite = scrub_grads(g_grads)
         metrics["G_grad_nonfinite"] = g_nonfinite
+        if debug_grads:
+            metrics["g_grads"] = g_grads
         updates, g_opt_state = g_tx.update(g_grads, g_opt_state, g_params)
         g_params = optax.apply_updates(g_params, updates)
 

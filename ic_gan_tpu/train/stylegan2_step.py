@@ -150,6 +150,7 @@ def make_sg2_train_step(
     do_r1: bool,
     augment_fn: Optional[Callable] = None,
     batch_gpu: Optional[int] = None,
+    debug_grads: bool = False,
 ):
     """Build one jitted training step.
 
@@ -275,6 +276,10 @@ def make_sg2_train_step(
         g_params = optax.apply_updates(state.g_params, g_updates)
         metrics.update(g_aux)
         metrics["G_grad_nonfinite"] = g_nonfinite
+        if debug_grads:
+            # Raw (pre-optimizer) grads for sharded-vs-single equivalence
+            # checks — Adam normalizes away scale errors downstream.
+            metrics["g_grads"] = g_grads
 
         # ---- D phase: Dmain (+ Dr1 when do_r1) ----
         z_d = jax.random.normal(rngs[6], (N, z_dim))
@@ -320,6 +325,8 @@ def make_sg2_train_step(
                 lambda g, m: g if m else jnp.zeros_like(g), d_grads, mask
             )
         d_grads, d_nonfinite = scrub_grads(d_grads)
+        if debug_grads:
+            metrics["d_grads"] = d_grads
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
                                              state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)

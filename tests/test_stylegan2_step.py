@@ -13,7 +13,7 @@ from ic_gan_tpu.train.stylegan2_step import (
 from ic_gan_tpu.data.augment import diff_augment
 
 
-def build(do_pl=False, do_r1=False, augment=False):
+def build(do_pl=False, do_r1=False, augment=False, debug_grads=False):
     cfg = sg2.StyleGAN2Config(
         img_resolution=16, z_dim=8, c_dim=0, h_dim=12, w_dim=16,
         channel_base=512, channel_max=32, num_fp16_res=0, conv_clamp=None,
@@ -32,7 +32,7 @@ def build(do_pl=False, do_r1=False, augment=False):
     state = SG2TrainState.create(g_vars, d_vars, tcfg)
     aug = (lambda rng, img, p: diff_augment(rng, img, "color")) if augment else None
     step = make_sg2_train_step(g, d, tcfg, cfg.z_dim, do_pl=do_pl, do_r1=do_r1,
-                               augment_fn=aug)
+                               augment_fn=aug, debug_grads=debug_grads)
     batch = {
         "x": jax.random.normal(jax.random.PRNGKey(2), (N, 16, 16, 3)) * 0.5,
         "h": jax.random.normal(jax.random.PRNGKey(3), (N, cfg.h_dim)),
@@ -98,23 +98,56 @@ def test_ema_rampup_beta_small_early():
         np.testing.assert_allclose(np.asarray(e), np.asarray(p), atol=1e-4)
 
 
-def test_sg2_step_sharded_over_mesh():
-    # Data-parallel SG2 training step on the 8-device virtual mesh.
+def test_sg2_step_sharded_over_mesh_matches_single_device():
+    """Sharded SG2 step (with the hard parts on: R1/PL grad-of-grad through
+    the augment pipe) must equal the single-device step on the same global
+    batch — the DDP replica-consistency contract (ref ``misc.py:233-242``).
+
+    Asserted on raw gradients (tight): Adam normalizes away scale errors,
+    and |g| ≲ adam_eps elements legitimately amplify reassociation noise
+    into O(lr) param deltas, so params get only a loose lr-scale bound."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ic_gan_tpu.parallel.mesh import make_mesh
 
     assert len(jax.devices()) == 8
-    state, step, batch = build()
+    state, step, batch = build(do_pl=True, do_r1=True, augment=True,
+                               debug_grads=True)
     # Pad batch to 8 for even sharding.
     batch = jax.tree.map(lambda a: jnp.concatenate([a, a], axis=0), batch)
+    rng = jax.random.PRNGKey(0)
+
+    ref_state, ref_metrics = jax.jit(step)(state, batch, rng)
+
     mesh = make_mesh()
     sh = NamedSharding(mesh, P("data"))
-    batch = jax.tree.map(lambda a: jax.device_put(a, sh), batch)
-    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+    sharded = jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    new_state, metrics = jax.jit(step)(state, sharded, rng)
+
     assert np.isfinite(float(metrics["G_loss"]))
     assert np.isfinite(float(metrics["D_loss"]))
+    for k in ("g_grads", "d_grads"):
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(ref_metrics[k])[0],
+            jax.tree.leaves(metrics[k]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4,
+                err_msg=f"{k}{jax.tree_util.keystr(path)}")
+    for k in ref_metrics:
+        if k in ("g_grads", "d_grads"):
+            continue
+        np.testing.assert_allclose(
+            float(metrics[k]), float(ref_metrics[k]), atol=1e-5, rtol=1e-5,
+            err_msg=k)
+    for keyed in ("g_params", "d_params", "g_state", "g_ema_params",
+                  "pl_mean"):
+        for a, b in zip(jax.tree.leaves(getattr(ref_state, keyed)),
+                        jax.tree.leaves(getattr(new_state, keyed))):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-2, rtol=1e-3,
+                err_msg=keyed)
 
 
 def test_freeze_d_keeps_top_layers_fixed():

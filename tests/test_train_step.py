@@ -11,7 +11,8 @@ from ic_gan_tpu.train.step import TrainConfig, make_train_step
 from ic_gan_tpu.parallel.mesh import make_mesh, shard_batch
 
 
-def build(res=32, mb=4, n_acc_d=2, n_acc_g=2, n_d_steps=1, **cfg_kw):
+def build(res=32, mb=4, n_acc_d=2, n_acc_g=2, n_d_steps=1, debug_grads=False,
+          **cfg_kw):
     mcfg = BigGANConfig(
         resolution=res, n_classes=10, G_ch=8, D_ch=8, dim_z=20,
         G_attn="0", D_attn="0", shared_dim=16, shared_dim_feat=24,
@@ -34,7 +35,8 @@ def build(res=32, mb=4, n_acc_d=2, n_acc_g=2, n_d_steps=1, **cfg_kw):
     x = jnp.zeros((mb, res, res, 3))
     d_vars = d.init(rng, x, label, feats, train=True)
     state = GANTrainState.create(g_vars, d_vars, tcfg.g_optimizer(), tcfg.d_optimizer())
-    step = make_train_step(g.apply, d.apply, tcfg, mcfg.effective_dim_z)
+    step = make_train_step(g.apply, d.apply, tcfg, mcfg.effective_dim_z,
+                           debug_grads=debug_grads)
 
     nD = n_d_steps * n_acc_d
     rngs = jax.random.split(jax.random.PRNGKey(1), 8)
@@ -105,14 +107,49 @@ def test_train_step_class_and_instance_cond():
     assert np.isfinite(float(metrics["D_loss_real"]))
 
 
-def test_train_step_sharded_over_mesh():
-    # Full data-parallel path on the 8-device virtual CPU mesh.
+def test_train_step_sharded_over_mesh_matches_single_device():
+    """The 8-device data-parallel step must be numerically EQUIVALENT to the
+    single-device step on the same global batch — the reference's DDP
+    contract (every replica identical after allreduce, ``misc.py:233-242``).
+    Finiteness alone would not catch a wrong psum placement or per-device
+    RNG skew.
+
+    The contract is asserted on the raw GRADIENTS (tight tolerance): after
+    Adam, scale errors are normalized away (m/√v is scale-invariant) and
+    near-zero-gradient elements (|g| ≲ adam_eps) legitimately amplify f32
+    reassociation noise into O(lr) param deltas — params are checked at a
+    loose lr-scale tolerance only as a sanity bound."""
     assert len(jax.devices()) == 8
-    state, step, batch = build(mb=8)
+    state, step, batch = build(mb=8, debug_grads=True)
     mesh = make_mesh()
-    batch = shard_batch(mesh, batch, axis=1)  # shard microbatch dim
-    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(3))
+    rng = jax.random.PRNGKey(3)
+
+    ref_state, ref_metrics = jax.jit(step)(state, batch, rng)
+    sharded_batch = shard_batch(mesh, batch, axis=1)  # shard microbatch dim
+    new_state, metrics = jax.jit(step)(state, sharded_batch, rng)
+
     assert np.isfinite(float(metrics["G_loss"]))
+    for k in ("g_grads", "d_grads"):
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(ref_metrics[k])[0],
+            jax.tree.leaves(metrics[k]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-4,
+                err_msg=f"{k}{jax.tree_util.keystr(path)}")
+    for k in ref_metrics:
+        if k in ("g_grads", "d_grads"):
+            continue
+        np.testing.assert_allclose(
+            float(metrics[k]), float(ref_metrics[k]), atol=1e-5, rtol=1e-5,
+            err_msg=k)
+    for keyed in ("g_params", "d_params", "g_state", "d_state",
+                  "g_ema_params"):
+        for a, b in zip(jax.tree.leaves(getattr(ref_state, keyed)),
+                        jax.tree.leaves(getattr(new_state, keyed))):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-3, rtol=1e-3,
+                err_msg=keyed)
 
 
 def test_ema_gate_before_start():
