@@ -53,6 +53,7 @@ CONSUMED_KEYS = {
     "seed", "deterministic_run", "n_nodes", "n_gpus_per_node",
     "use_ema", "G_eval_mode", "accumulate_stats",
     "num_standing_accumulations", "stop_when_diverge", "sv_log_interval",
+    "log_G_spectra", "log_D_spectra",
     "load_weights", "resume",
     # data / conditioning
     "data_root", "which_dataset", "longtail", "hflips",
@@ -129,7 +130,6 @@ DEFAULT_ONLY_KEYS = {
     "toggle_grads": True, "split_D": False,
     "skip_init": False, "hashname": False, "config_from_name": False,
     "name_suffix": "", "logstyle": "%3.3e",
-    "log_G_spectra": False, "log_D_spectra": False,
     "augment": False,
 }
 
@@ -279,6 +279,8 @@ def _split_train_and_data(cfg: Dict[str, Any]):
         num_standing_accumulations=g("num_standing_accumulations", 16),
         stop_when_diverge=g("stop_when_diverge", False),
         sv_log_interval=g("sv_log_interval", 0),
+        log_G_spectra=g("log_G_spectra", False),
+        log_D_spectra=g("log_D_spectra", False),
     )
     data_kwargs = dict(
         resolution=g("resolution", 64),

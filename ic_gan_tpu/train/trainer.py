@@ -65,8 +65,13 @@ class TrainerConfig:
     # Divergence stop gate (ref trainer.py:514: only with stop_when_diverge).
     stop_when_diverge: bool = False
     # Log spectral-norm singular-value estimates every N iterations
-    # (ref utils.py:1590-1598 + sv_log_interval flag; 0 disables).
+    # (ref utils.py:1590-1598 + sv_log_interval flag; 0 disables unless a
+    # log_*_spectra flag is set, then the reference default interval 10
+    # applies).  log_G_spectra/log_D_spectra select which net's SVs go to
+    # the per-metric logs (ref flags utils.py:857-876).
     sv_log_interval: int = 0
+    log_G_spectra: bool = False
+    log_D_spectra: bool = False
     # Informational: reference world size (n_nodes * n_gpus_per_node) the
     # global batch derivation came from.
     world_size: int = 1
@@ -291,12 +296,30 @@ class Trainer:
         self._eval_sampler_cache = (key, sampler)
         return sampler
 
-    def _sv_metrics(self) -> Dict[str, float]:
+    def _sv_nets(self):
+        """Which nets' spectra to log: the log_*_spectra flags select; with
+        only sv_log_interval set, both (upstream BigGAN train.py behavior)."""
+        cfg = self.cfg
+        if cfg.log_G_spectra or cfg.log_D_spectra:
+            return tuple(p for p, on in (("G", cfg.log_G_spectra),
+                                         ("D", cfg.log_D_spectra)) if on)
+        return ("G", "D")
+
+    def _sv_interval(self) -> int:
+        cfg = self.cfg
+        if cfg.sv_log_interval > 0:
+            return cfg.sv_log_interval
+        # Reference default interval when a spectra flag is on (utils.py:871).
+        return 10 if (cfg.log_G_spectra or cfg.log_D_spectra) else 0
+
+    def _sv_metrics(self, nets=("G", "D")) -> Dict[str, float]:
         """Per-layer singular-value estimates from the explicit ``sn``
         collections (ref ``utils.py:1590-1598`` logs G/D SVs each
         ``sv_log_interval``)."""
         out = {}
-        for prefix, st in (("G", self.state.g_state), ("D", self.state.d_state)):
+        states = {"G": self.state.g_state, "D": self.state.d_state}
+        for prefix in nets:
+            st = states[prefix]
             sn = st.get("sn", {}) if hasattr(st, "get") else {}
             flat = jax.tree_util.tree_flatten_with_path(sn)[0]
             for path, leaf in flat:
@@ -479,13 +502,15 @@ class Trainer:
                         itr=self.history["itr"],
                         **{k: float(v) for k, v in metrics.items()},
                     )
+                sv_int = self._sv_interval()
                 if (
-                    cfg.sv_log_interval > 0
-                    and self.history["itr"] % cfg.sv_log_interval == 0
+                    sv_int > 0
+                    and self.history["itr"] % sv_int == 0
                     and self.is_main
                 ):
                     self.train_log.log(
-                        itr=self.history["itr"], **self._sv_metrics()
+                        itr=self.history["itr"],
+                        **self._sv_metrics(self._sv_nets()),
                     )
             dt = time.time() - t0
             imgs_per_sec = steps_per_epoch * per_step_imgs / dt

@@ -89,6 +89,47 @@ def test_trainer_resume_roundtrip(tiny_env):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_logs_sn_spectra(tiny_env):
+    """log_G_spectra/log_D_spectra select which net's singular values land
+    in the per-metric logs (ref utils.py:857-876, 1590-1598)."""
+    import dataclasses
+    import json
+
+    ds, mcfg, tcfg, trcfg, tmp = tiny_env
+    trcfg = dataclasses.replace(
+        trcfg, experiment_name="sv", log_G_spectra=True, sv_log_interval=1,
+        test_every=100, save_every=100,
+    )
+    tr = Trainer(mcfg, tcfg, trcfg, ds)
+    assert tr._sv_nets() == ("G",)
+    assert tr._sv_interval() == 1
+    tr.run(steps_per_epoch=1)
+    log_path = os.path.join(trcfg.logs_root, "sv", "sv_log.jsonl")
+    records = [json.loads(l) for l in open(log_path)]
+    sv_records = [r for r in records if any(k.startswith("G_sv/") for k in r)]
+    assert sv_records, records
+    rec = sv_records[-1]
+    assert not any(k.startswith("D_sv/") for k in rec)
+    g_keys = [k for k in rec if k.startswith("G_sv/")]
+    # One sv per spectrally-normalized G module, finite, near 1 at ortho init.
+    assert len(g_keys) >= 4
+    assert all(np.isfinite(rec[k]) for k in g_keys)
+    # Values must come from the live sn collection.
+    live = tr._sv_metrics(("G",))
+    for k in g_keys:
+        assert k in live
+
+    # Flag without interval falls back to the reference default of 10.
+    trcfg2 = dataclasses.replace(trcfg, sv_log_interval=0)
+    tr2 = Trainer(mcfg, tcfg, trcfg2, ds)
+    assert tr2._sv_interval() == 10
+    # Bare sv_log_interval logs both nets (upstream train.py behavior).
+    trcfg3 = dataclasses.replace(
+        trcfg, log_G_spectra=False, sv_log_interval=2)
+    tr3 = Trainer(mcfg, tcfg, trcfg3, ds)
+    assert tr3._sv_nets() == ("G", "D")
+
+
 def test_checkpoint_atomic_and_best_selection(tmp_path):
     from ic_gan_tpu.io.checkpoint import find_best_checkpoint
 
