@@ -39,8 +39,11 @@ class BasicConv2d(nn.Module):
             self.features, self.kernel_size, strides=self.strides, padding=pad,
             use_bias=False, name="conv",
         )(x)
-        # Eval-mode BN folded as affine transform with stored stats (torchvision
-        # BN eps=1e-3).
+        # Eval-mode BN folded as affine with stored stats.  eps=1e-3 is
+        # torchvision's BasicConv2d BatchNorm2d(eps=0.001)
+        # (torchvision/models/inception.py BasicConv2d) — NOT the 1e-5
+        # default; using 1e-5 shifts FID.  Golden-pinned by
+        # tests/test_inception_graph.py.
         mean = self.param("bn_mean", nn.initializers.zeros, (self.features,))
         var = self.param("bn_var", nn.initializers.ones, (self.features,))
         gamma = self.param("bn_weight", nn.initializers.ones, (self.features,))
@@ -50,6 +53,10 @@ class BasicConv2d(nn.Module):
 
 
 def _avgpool3(x):
+    # torchvision branch_pool = F.avg_pool2d(x, 3, stride=1, padding=1) with
+    # the default count_include_pad=True: the divisor is ALWAYS 9, zeros
+    # included at the border — hence the constant /9.0, not a
+    # window-popcount divide.  Golden-pinned by tests/test_inception_graph.
     return jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)],
@@ -76,6 +83,8 @@ class InceptionA(nn.Module):
         bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(
             _avgpool3(x)
         )
+        # Concat order (1x1, 5x5, 3x3dbl, pool) = torchvision InceptionA
+        # ._forward outputs list; feature-channel order feeds the FID pool.
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -217,6 +226,9 @@ class InceptionV3(nn.Module):
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE(name="Mixed_7b")(x)
         x = InceptionE(name="Mixed_7c")(x)
+        # Reference pools with F.adaptive_avg_pool2d(x, (1,1))
+        # (inception_utils.py:84) == plain spatial mean; logits = fc(pool)
+        # with no softmax (WrapInception returns raw logits, :87-102).
         pool = jnp.mean(x, axis=(1, 2))  # (N, 2048)
         logits = nn.Dense(1000, name="fc")(pool)
         return pool, logits
