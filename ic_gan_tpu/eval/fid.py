@@ -71,6 +71,18 @@ def sqrtm_newton_schulz(mat: jax.Array, num_iters: int = 50) -> jax.Array:
     return y * jnp.sqrt(norm)
 
 
+@jax.jit
+def _tr_sqrtm_psd_pair(s1: jax.Array, s2: jax.Array) -> jax.Array:
+    """tr √(s1·s2) for PSD s1, s2, exactly, on device: λ(s1·s2) =
+    λ(√s1·s2·√s1) ≥ 0, so the trace is Σᵢ√λᵢ of a *symmetric* eigenproblem —
+    no host scipy.sqrtm, no serialization of the metric tail."""
+    w1, v1 = jnp.linalg.eigh(s1)
+    sqrt_s1 = (v1 * jnp.sqrt(jnp.clip(w1, 0.0, None))) @ v1.T
+    m = sqrt_s1 @ s2 @ sqrt_s1
+    w = jnp.linalg.eigvalsh(m)
+    return jnp.sum(jnp.sqrt(jnp.clip(w, 0.0, None)))
+
+
 def frechet_distance(
     mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray,
     num_iters: int = 50,
@@ -86,20 +98,10 @@ def frechet_distance(
     tr_covmean = jnp.trace(covmean)
     if not bool(jnp.isfinite(tr_covmean)):
         # Rank-deficient covariances (few samples, high dim) make the product
-        # singular and Newton-Schulz diverges; fall back to the exact host
-        # sqrtm with the classic eps regularization (TTUR fid.py behaviour).
-        import scipy.linalg
-
-        a = np.asarray(s1, np.float64)
-        b = np.asarray(s2, np.float64)
-        covmean_np, _ = scipy.linalg.sqrtm(a @ b, disp=False)
-        if not np.isfinite(covmean_np).all():
-            eps = 1e-6
-            offset = np.eye(a.shape[0]) * eps
-            covmean_np, _ = scipy.linalg.sqrtm(
-                (a + offset) @ (b + offset), disp=False
-            )
-        tr_covmean = jnp.asarray(np.real(np.trace(covmean_np)), s1.dtype)
+        # singular and Newton-Schulz diverges; the exact symmetric-eigh path
+        # handles them on device (replaces the former host scipy.sqrtm
+        # fallback, which serialized the eval tail).
+        tr_covmean = _tr_sqrtm_psd_pair(s1, s2)
     out = jnp.dot(diff, diff) + jnp.trace(s1) + jnp.trace(s2) - 2.0 * tr_covmean
     return float(out)
 
@@ -125,6 +127,28 @@ def inception_score(
         kl = np.sum(part * (np.log(part + 1e-10) - np.log(py + 1e-10)), axis=1)
         scores.append(np.exp(kl.mean()))
     return float(np.mean(scores)), float(np.std(scores))
+
+
+@functools.partial(jax.jit, static_argnames=("num_splits",))
+def inception_score_device(logits: jax.Array, num_splits: int = 10):
+    """On-device IS over pre-concatenated logits: the 50k×1000 logits tensor
+    never leaves the chip (a ~200 MB host fetch through the relay backend
+    dominated the former eval tail).  Split boundaries are static (shape-
+    derived), so the whole computation jits once."""
+    x = logits.astype(jnp.float32)
+    probs = jax.nn.softmax(x, axis=1)
+    n = x.shape[0]
+    ns = max(1, min(num_splits, n))
+    scores = []
+    for i in range(ns):
+        part = probs[i * n // ns : (i + 1) * n // ns]
+        py = jnp.mean(part, axis=0, keepdims=True)
+        kl = jnp.sum(
+            part * (jnp.log(part + 1e-10) - jnp.log(py + 1e-10)), axis=1
+        )
+        scores.append(jnp.exp(jnp.mean(kl)))
+    s = jnp.stack(scores)
+    return jnp.mean(s), jnp.std(s)
 
 
 def compute_fid_from_moments(

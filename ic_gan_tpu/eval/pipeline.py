@@ -268,7 +268,9 @@ def evaluate_generator(
         o64 = np.asarray(o, np.float64)
         mu = s64 / n_total
         sigma = (o64 - n_total * np.outer(mu, mu)) / (n_total - 1)
-        logits_cat = np.asarray(jnp.concatenate(logits_all))
+        # IS runs on device over the concatenated logits — the 50k×1000
+        # tensor (~200 MB) never crosses the relay link; only two scalars do.
+        logits_cat = jnp.concatenate(logits_all)
         if keep_pools:
             pools_all = [np.asarray(jnp.concatenate(pools_all))]
     else:
@@ -288,7 +290,13 @@ def evaluate_generator(
         logits_cat = np.concatenate(logits_all)
         mu, sigma = moments.mean, moments.cov
 
-    is_mean, is_std = inception_score(logits_cat, num_splits=num_splits)
+    if device:
+        from ic_gan_tpu.eval.fid import inception_score_device
+
+        m_, s_ = inception_score_device(logits_cat, num_splits=num_splits)
+        is_mean, is_std = float(m_), float(s_)
+    else:
+        is_mean, is_std = inception_score(logits_cat, num_splits=num_splits)
     fid = frechet_distance(mu, sigma, ref_mu, ref_sigma)
     out = {"IS_mean": is_mean, "IS_std": is_std, "FID": fid}
 

@@ -19,6 +19,108 @@ from ic_gan_tpu.train.step import TrainConfig, make_train_step
 
 
 @pytest.mark.slow
+def test_ada_fast_warp_training_neutral():
+    """The TPU fast-geometry warp (``geom_impl='fast'``, default-on for TPU
+    SG2 training) must be training-neutral vs the exact gather warp under a
+    geometric-heavy ADA pipe: the 1-3% interpolation deviation may not shift
+    the ADA controller's food (E[sign(D_real)]) nor break learning.
+
+    Same seed, same data, two runs differing ONLY in geom_impl; GAN training
+    is chaotic so per-step values diverge — the assertions live on run-level
+    aggregates: both learn the color conditioning, the mean real-sign
+    trajectories agree, and the ADA-p trajectories end within tolerance.
+    """
+    from ic_gan_tpu.data.ada import AugmentPipe
+    from ic_gan_tpu.models import stylegan2 as sg2
+    from ic_gan_tpu.train.stylegan2_step import (
+        SG2TrainConfig, SG2TrainState, make_sg2_train_step, ada_update,
+    )
+
+    rng0 = np.random.RandomState(0)
+    N, H = 128, 16
+    colors = rng0.rand(N, 3).astype(np.float32) * 1.6 - 0.8
+    hfeats = np.concatenate(
+        [colors, rng0.randn(N, 5).astype(np.float32) * 0.01], axis=1
+    )
+    hfeats /= np.linalg.norm(hfeats, axis=1, keepdims=True)
+
+    scfg = sg2.StyleGAN2Config(
+        img_resolution=H, z_dim=8, c_dim=0, h_dim=8, w_dim=16,
+        channel_base=256, channel_max=32, num_fp16_res=0, conv_clamp=None,
+        num_mapping_layers=2, mbstd_group_size=4,
+    )
+    # ada_kimg tiny so p can actually move in a 120-step run.
+    stcfg = SG2TrainConfig(r1_gamma=1.0, ada_kimg=2.0, ada_interval=4,
+                           style_mixing_prob=0.0)
+    steps, bs = 120, 16
+
+    def run(geom_impl):
+        pipe = AugmentPipe(
+            xint=1, scale=1, rotate=1, aniso=1, xfrac=1,  # geometric-heavy
+            geom_impl=geom_impl,
+        )
+        g, d = sg2.Generator(scfg), sg2.Discriminator(scfg)
+        init_rngs = {"params": jax.random.PRNGKey(3),
+                     "noise": jax.random.PRNGKey(4)}
+        gv = g.init(init_rngs, jnp.zeros((4, 8)), None, jnp.zeros((4, 8)))
+        dv = d.init(init_rngs, jnp.zeros((4, H, H, 3)), None,
+                    jnp.zeros((4, 8)))
+        state = SG2TrainState.create(gv, dv, stcfg)
+        step = jax.jit(make_sg2_train_step(
+            g, d, stcfg, scfg.z_dim, do_pl=False, do_r1=True,
+            augment_fn=lambda r, img, p: pipe(r, img, p),
+        ), donate_argnums=(0,))
+
+        data_rng = np.random.RandomState(7)
+        signs, ps = [], []
+        for it in range(steps):
+            idx = data_rng.randint(0, N, bs)
+            x = np.broadcast_to(
+                colors[idx][:, None, None, :], (bs, H, H, 3)
+            ).copy()
+            x += data_rng.randn(bs, H, H, 3).astype(np.float32) * 0.02
+            batch = {
+                "x": jnp.asarray(x),
+                "h": jnp.asarray(hfeats[idx]),
+                "gen_h": jnp.asarray(hfeats[data_rng.randint(0, N, bs)]),
+            }
+            state, m = step(state, batch,
+                            jax.random.fold_in(jax.random.PRNGKey(1), it))
+            signs.append(float(m["real_signs"]))
+            if (it + 1) % stcfg.ada_interval == 0:
+                state = ada_update(state, stcfg, batch_size=bs)
+            ps.append(float(state.ada_p))
+
+        idx = np.arange(32)
+        imgs = g.apply(
+            {"params": state.g_ema_params, **state.g_ema_state},
+            jnp.asarray(np.random.RandomState(99).randn(32, 8).astype(np.float32)),
+            None, jnp.asarray(hfeats[idx]), noise_mode="const",
+        )
+        err = float(np.abs(
+            np.asarray(jnp.mean(imgs, axis=(1, 2))) - colors[idx]
+        ).mean())
+        return {"err": err, "signs": np.asarray(signs), "p": np.asarray(ps)}
+
+    exact = run("exact")
+    fast = run("fast")
+
+    # Both runs learn the conditioning (random-init error is ~0.4).
+    assert exact["err"] < 0.3 and fast["err"] < 0.3, (exact["err"], fast["err"])
+    # The ADA feed signal agrees at run level: a systematically softer fast
+    # warp would bias E[sign(D_real)] and shift p.
+    mean_sign_delta = abs(exact["signs"].mean() - fast["signs"].mean())
+    assert mean_sign_delta < 0.15, (exact["signs"].mean(), fast["signs"].mean())
+    assert abs(exact["p"][-1] - fast["p"][-1]) <= 0.1, (
+        exact["p"][-1], fast["p"][-1])
+    # Record the measured trajectories for the README bound.
+    print("ADA A/B — err exact/fast: %.3f/%.3f, mean-sign Δ %.3f, "
+          "p final exact/fast: %.3f/%.3f"
+          % (exact["err"], fast["err"], mean_sign_delta,
+             exact["p"][-1], fast["p"][-1]))
+
+
+@pytest.mark.slow
 def test_icgan_learns_color_conditioning():
     rng = np.random.RandomState(0)
     N = 128
