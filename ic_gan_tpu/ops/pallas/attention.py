@@ -15,11 +15,14 @@ touch HBM.  Unlike streaming flash attention there is no online-softmax
 rescaling: the full key axis is resident, so the softmax is exact in one
 shot.  BigGAN attention is unscaled (no 1/√d) and non-causal.
 
-Autodiff: ``sagan_attention`` carries a ``jax.custom_vjp`` whose backward is
-the straightforward XLA formulation (recompute p; dθ = ds·φ, dφ = dsᵀ·θ,
-dg = pᵀ·do) — BigGAN needs first-order grads only (D/G steps; ortho reg acts
-on params, not activations), so the forward kernel serves training too while
-the backward stays compiler-scheduled.
+Autodiff: ``sagan_attention`` carries a ``jax.custom_vjp``.  The backward is
+a second Pallas kernel (flash-style: recompute the logit tile in VMEM, form
+dp/ds there, accumulate dφ/dg across q-tiles in the revisited output block)
+— the (N, Lq, Lk) probability tensor never exists in HBM in either pass.
+This matters for *training* throughput: at mb128/128² the XLA backward
+materialized multi-GB f32 logits and attention was 44 % of the whole
+training step (measured r3; see README).  BigGAN needs first-order grads
+only (D/G steps; ortho reg acts on params, not activations).
 """
 
 from __future__ import annotations
@@ -77,6 +80,96 @@ def _attention_fwd_impl(theta, phi, g, interpret: bool = False):
     return out
 
 
+def _attn_bwd_kernel(theta_ref, phi_ref, g_ref, do_ref,
+                     dtheta_ref, dphi_ref, dg_ref):
+    """One (n, q-tile) grid step of the backward.  dφ/dg accumulate across
+    q-tiles in their (revisited) output blocks — grid iteration on TPU is
+    sequential, so read-modify-write is safe."""
+    q = pl.program_id(1)
+    theta = theta_ref[0]   # (BQ, d)
+    phi = phi_ref[0]       # (Lk, d)
+    g = g_ref[0]           # (Lk, dv)
+    do = do_ref[0]         # (BQ, dv)
+
+    logits = jax.lax.dot_general(
+        theta, phi, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, Lk) f32
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / s  # exact softmax, full key axis resident
+
+    do32 = do.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do32, g32, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, Lk)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+    dtheta_ref[0] = jax.lax.dot_general(
+        ds, phi.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtheta_ref.dtype)  # (BQ, d)
+
+    dphi_tile = jax.lax.dot_general(
+        ds, theta.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Lk, d)
+    dg_tile = jax.lax.dot_general(
+        p, do32, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Lk, dv)
+
+    @pl.when(q == 0)
+    def _init():
+        dphi_ref[0] = dphi_tile
+        dg_ref[0] = dg_tile
+
+    @pl.when(q != 0)
+    def _acc():
+        dphi_ref[0] += dphi_tile
+        dg_ref[0] += dg_tile
+
+
+def _attention_bwd_impl(theta, phi, g, do, interpret: bool = False):
+    N, Lq, d = theta.shape
+    Lk, dv = g.shape[1], g.shape[2]
+    BQ = min(512, Lq)
+    assert Lq % BQ == 0 and Lk % 128 == 0, (Lq, Lk)
+    dtheta, dphi, dg = pl.pallas_call(
+        _attn_bwd_kernel,
+        grid=(N, Lq // BQ),
+        in_specs=[
+            pl.BlockSpec((1, BQ, d), lambda n, q: (n, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, d), lambda n, q: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, dv), lambda n, q: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, dv), lambda n, q: (n, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BQ, d), lambda n, q: (n, q, 0),
+                         memory_space=pltpu.VMEM),
+            # dφ/dg: same block revisited across q — f32 accumulators.
+            pl.BlockSpec((1, Lk, d), lambda n, q: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk, dv), lambda n, q: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Lq, d), theta.dtype),
+            jax.ShapeDtypeStruct((N, Lk, d), jnp.float32),
+            jax.ShapeDtypeStruct((N, Lk, dv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(theta, phi, g, do)
+    return dtheta, dphi.astype(phi.dtype), dg.astype(g.dtype)
+
+
 def _attention_xla(theta, phi, g):
     """Reference XLA formulation (f32 softmax) — backward + fallback path."""
     logits = jnp.einsum("nqc,nkc->nqk", theta, phi,
@@ -102,6 +195,11 @@ def _sagan_fwd(theta, phi, g, interpret):
 
 def _sagan_bwd(interpret, res, do):
     theta, phi, g = res
+    N, Lq, d = theta.shape
+    Lk, dv = g.shape[1], g.shape[2]
+    if supported(Lq, Lk, d, dv):
+        return _attention_bwd_impl(theta, phi, g, do, interpret)
+    # XLA fallback for shapes the kernel doesn't tile (materializes p).
     logits = jnp.einsum("nqc,nkc->nqk", theta, phi,
                         preferred_element_type=jnp.float32)
     p = jax.nn.softmax(logits, axis=-1)  # (N, Lq, Lk) f32
@@ -131,9 +229,12 @@ def supported(Lq: int, Lk: int, d: int = 128, dv: int = 128) -> bool:
         return False
     pad = lambda x: max(128, -(-x // 128) * 128)
     BQ = min(512, Lq)
+    # Backward is the larger footprint (the same gate serves both passes):
+    # θ/do/dθ tiles + φ/g + f32 dφ/dg accumulators + ~3 live (BQ,Lk) f32
+    # intermediates (logits/p/dp).
     vmem = 4 * (
-        BQ * pad(d) + Lk * pad(d) + Lk * pad(dv)  # θ tile, φ, g (≤f32)
-        + BQ * Lk                                  # f32 logit tile
-        + BQ * pad(dv)                             # output tile
+        2 * BQ * pad(d) + 2 * BQ * pad(dv)      # θ, dθ, do, out tiles
+        + 2 * Lk * pad(d) + 2 * Lk * pad(dv)    # φ, dφ, g, dg blocks
+        + 3 * BQ * Lk                           # f32 logit/p/dp tiles
     )
     return vmem <= 12 * 1024 * 1024

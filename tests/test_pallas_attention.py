@@ -62,6 +62,42 @@ def test_gradients_match_oracle():
         np.testing.assert_allclose(np.asarray(got), np.asarray(r), atol=1e-4)
 
 
+def test_gradients_multitile_q_accumulation():
+    """Lq > BQ: dφ/dg accumulate across q-tiles in the revisited output
+    block of the backward kernel — the reduction the single-tile test
+    can't see."""
+    theta, phi, g = _data(N=2, Lq=1024, Lk=128, d=4, dv=8)
+
+    def loss(fn):
+        return lambda t, p, v: jnp.sum(jnp.tanh(fn(t, p, v)))
+
+    ref_grads = jax.grad(loss(_attention_xla), argnums=(0, 1, 2))(theta, phi, g)
+    got_grads = jax.grad(
+        loss(lambda t, p, v: sagan_attention(t, p, v, True)), argnums=(0, 1, 2)
+    )(theta, phi, g)
+    for r, got in zip(ref_grads, got_grads):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(r), atol=1e-4)
+
+
+def test_gradients_bf16_production_dims():
+    """bf16 grads at (scaled-down) production head dims d=24, dv=96."""
+    theta, phi, g = _data(N=1, Lq=512, Lk=256, d=24, dv=96,
+                          dtype=jnp.bfloat16)
+
+    def loss(fn):
+        return lambda t, p, v: jnp.sum(jnp.tanh(fn(t, p, v)))
+
+    ref_grads = jax.grad(loss(_attention_xla), argnums=(0, 1, 2))(theta, phi, g)
+    got_grads = jax.grad(
+        loss(lambda t, p, v: sagan_attention(t, p, v, True)), argnums=(0, 1, 2)
+    )(theta, phi, g)
+    for r, got in zip(ref_grads, got_grads):
+        # bf16 output quantization: one ulp is ~0.8% of magnitude.
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(r, np.float32),
+            atol=5e-2, rtol=2e-2)
+
+
 def test_supported_shapes():
     assert supported(4096, 1024)   # 256² model, attn @ 64
     assert supported(1024, 256)    # 64² model, attn @ 32
