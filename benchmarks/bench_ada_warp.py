@@ -64,6 +64,8 @@ def main():
     )
     t = jnp.asarray(rng.randn(N, 2).astype(np.float32) * 5)
 
+    from _results import record
+
     ms_x = bench(lambda a, _: fw.affine_warp(a, A, t, use_pallas=False), big)
     ms_p = bench(lambda a, _: fw.affine_warp(a, A, t, use_pallas=True), big)
     print(f"affine_warp 432² XLA shifts:    {ms_x:7.1f} ms")
@@ -75,6 +77,11 @@ def main():
     ms_pe = bench(lambda a, kk: pe(kk, a, 0.5), small, k=3, iters=2)
     print(f"bgc pipe 128²  EXACT (gather):  {ms_pe:7.1f} ms")
     print(f"bgc pipe 128²  FAST (pallas):   {ms_pf:7.1f} ms   ({ms_pe / ms_pf:.1f}x)")
+    record("ada_warp",
+           affine_warp_432_xla_ms=ms_x, affine_warp_432_pallas_ms=ms_p,
+           affine_warp_speedup=ms_x / ms_p,
+           bgc128_exact_ms=ms_pe, bgc128_fast_ms=ms_pf,
+           bgc128_speedup=ms_pe / ms_pf)
 
 
 if __name__ == "__main__":

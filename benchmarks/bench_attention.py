@@ -27,6 +27,9 @@ def timeit(fn, *args, iters=20):
 
 
 def main():
+    from _results import record
+
+    out = {}
     print("default_backend:", jax.default_backend(),
           "device_kind:", jax.devices()[0].device_kind,
           "platform:", jax.devices()[0].platform)
@@ -50,6 +53,11 @@ def main():
               f"xla {t_x*1e3:.2f} ms, pallas {t_p*1e3:.2f} ms "
               f"({t_x/t_p:.2f}x), max|Δ|={err:.3e}, "
               f"pallas {flops/t_p/1e12:.1f} TFLOP/s")
+        key = f"N{N}_Lq{Lq}_d{d}"
+        out[f"{key}_xla_ms"] = t_x * 1e3
+        out[f"{key}_pallas_ms"] = t_p * 1e3
+        out[f"{key}_speedup"] = t_x / t_p
+    record("attention", **out)
 
 
 if __name__ == "__main__":

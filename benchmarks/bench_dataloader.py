@@ -71,10 +71,14 @@ def bench(res, batch=64, iters=40, in_mem=False, chunk=500):
 
 
 def main():
+    from _results import record
+
+    out = {}
     for res in (128, 256):
-        bench(res, chunk=500)   # reference layout
-        bench(res, chunk=4)     # framework default (prepare_data io_chunk)
-        bench(res, in_mem=True)
+        out[f"r{res}_chunk500_img_s"] = bench(res, chunk=500)  # reference layout
+        out[f"r{res}_chunk4_img_s"] = bench(res, chunk=4)  # framework default
+        out[f"r{res}_inmem_img_s"] = bench(res, in_mem=True)
+    record("dataloader", **out)
 
 
 if __name__ == "__main__":

@@ -80,8 +80,14 @@ def main(num_images=10000, batch=128, resolution=256):
     )
     dt = time.perf_counter() - t0
     print(f"full eval: {num_images} images in {dt:.1f}s = "
-          f"{num_images/dt:.1f} img/s (+ moments/logits fetch + FID/IS tail)")
+          f"{num_images/dt:.1f} img/s (+ device metric tail)")
     print({k: round(float(v), 3) for k, v in out.items()})
+    from _results import record
+
+    record("eval_fid", num_images=num_images, batch=batch,
+           resolution=resolution,
+           feature_loop_img_s=num_images / dt_loop,
+           e2e_img_s=num_images / dt, e2e_seconds=dt)
 
 
 if __name__ == "__main__":

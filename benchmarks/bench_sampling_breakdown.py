@@ -38,8 +38,11 @@ def measure(cfg, batch, iters=12):
 
 
 def main():
+    from _results import record
+
     from ic_gan_tpu.models.biggan import BigGANConfig
 
+    out = {}
     base = dict(resolution=256, G_ch=96, dtype=jnp.bfloat16)
     for name, cfg, batch in [
         ("attn@64  b128", BigGANConfig(G_attn="64", **base), 128),
@@ -53,6 +56,8 @@ def main():
             print(f"{name}: failed ({type(e).__name__}: {str(e)[:120]}...)")
             continue
         print(f"{name}: {rate:8.1f} img/s  ({dt*1e3:.1f} ms/batch)")
+        out[name.replace("  ", "_").replace(" ", "") + "_img_s"] = rate
+    record("sampling_breakdown", **out)
 
 
 if __name__ == "__main__":

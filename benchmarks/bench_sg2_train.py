@@ -35,6 +35,9 @@ def timeit_step(step, state, batch, iters=8):
 
 
 def main():
+    from _results import record
+
+    out = {}
     from ic_gan_tpu.data.ada import AugmentPipe
     from ic_gan_tpu.models import stylegan2 as sg2
     from ic_gan_tpu.train.stylegan2_step import (
@@ -83,6 +86,11 @@ def main():
             f"reg {times['reg']*1e3:.1f} ms -> {s_per_kimg:.1f} s/kimg "
             f"({mb/blended:.1f} img/s)"
         )
+        out[f"r{res}_main_ms"] = times["main"] * 1e3
+        out[f"r{res}_reg_ms"] = times["reg"] * 1e3
+        out[f"r{res}_s_per_kimg"] = s_per_kimg
+        out[f"r{res}_img_s"] = mb / blended
+    record("sg2_train", **out)
 
 
 if __name__ == "__main__":

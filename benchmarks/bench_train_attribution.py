@@ -127,6 +127,10 @@ def main(mb=128):
         print(f"{name:>14}: {t*1e3:7.1f} ms/step  {mb/t:7.1f} img/s"
               + (f"  {tfl:.1f} TFLOP/s ({tfl/197*100:.0f}% v5e peak)"
                  if flops else ""))
+    from _results import record
+
+    record("train_attribution", microbatch=mb,
+           **{f"{k}_ms": v * 1e3 for k, v in results.items()})
     f = results["full"]
     print(f"SN cost: {(f-results['no_sn'])*1e3:.1f} ms "
           f"({(f-results['no_sn'])/f*100:.0f}%)  "

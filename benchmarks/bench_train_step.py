@@ -8,9 +8,10 @@ img/itr ≈ 23 img/s per V100.  Here: one jitted train step (D step + G step,
 scan microbatch accumulation, EMA, SN updates inside) at the reference's
 128² ch96 geometry, microbatch sized for one v5e chip.
 
-Measured microbatch scaling on the chip (2026-08-17): mb32 → 275 img/s
-(27% MFU), mb64 → 303 (30%), mb128 → 332 (33%) — pick the largest
-microbatch that fits when accumulating to the reference's 2048 global batch.
+Measured on the chip (2026-08-17, after the Pallas attention backward):
+mb128 → 471 img/s at 46% MFU (was 332 img/s / 33% with the XLA attention
+backward; mb32 → 275, mb64 → 303 before) — pick the largest microbatch
+that fits when accumulating to the reference's 2048 global batch.
 """
 
 import time
@@ -26,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from __graft_entry__ import _fast_variables
 
 
-def main(resolution=128, ch=96, mb=32):
+def main(resolution=128, ch=96, mb=128):
     from ic_gan_tpu.models.biggan import BigGANConfig, Generator, Discriminator
     from ic_gan_tpu.train.state import GANTrainState
     from ic_gan_tpu.train.step import TrainConfig, make_train_step
@@ -79,6 +80,12 @@ def main(resolution=128, ch=96, mb=32):
         mfu = f", {tflops:.1f} TFLOP/s = {tflops/197*100:.0f}% of v5e bf16 peak"
     print(f"biggan {resolution}^2 ch{ch} train: {mb/best:8.1f} img/s "
           f"({best*1e3:.1f} ms/step @ microbatch {mb}{mfu})")
+    from _results import record
+
+    tflops = (flops_total or 0) / best / 1e12
+    record("train_step", resolution=resolution, ch=ch, microbatch=mb,
+           img_s=mb / best, ms_per_step=best * 1e3,
+           tflops=tflops, mfu_pct=tflops / 197 * 100)
 
 
 if __name__ == "__main__":
