@@ -66,3 +66,90 @@ def test_gradients_match_naive():
         np.testing.assert_allclose(
             np.asarray(gn), np.asarray(gr), atol=1e-4, rtol=1e-3
         )
+
+
+# ---------------------------------------------------------------------------
+# SG2 FIR-composite rewrites (ops/conv_resample.py): the dilated-conv→FIR
+# chain and the FIR→strided-conv chain each collapse into composite-kernel
+# convs.  Oracle = the uncomposed chain, built here explicitly.
+# ---------------------------------------------------------------------------
+
+
+def _sg2_up_chain_oracle(x, w, f, flip_weight):
+    from ic_gan_tpu.ops.resample import upfirdn2d
+
+    ww = w if flip_weight else jnp.flip(w, axis=(0, 1))
+    y = jax.lax.conv_general_dilated(
+        x, ww, (1, 1), ((3, 3), (3, 3)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    f2d = jnp.outer(f, f) if f.ndim == 1 else f
+    return upfirdn2d(y, f2d, gain=4)
+
+
+def _sg2_down_chain_oracle(x, w, f, px0, flip_weight):
+    from ic_gan_tpu.ops.resample import upfirdn2d
+
+    ww = w if flip_weight else jnp.flip(w, axis=(0, 1))
+    f2d = jnp.outer(f, f) if f.ndim == 1 else f
+    y = upfirdn2d(x, f2d, padding=px0)
+    return jax.lax.conv_general_dilated(
+        y, ww, (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@pytest.mark.parametrize("flip", [True, False])
+@pytest.mark.parametrize("shape", [(2, 8, 5, 7), (1, 16, 3, 4)])
+def test_up2_polyphase_matches_chain(shape, flip):
+    from ic_gan_tpu.ops.conv_resample import conv2d_resample
+    from ic_gan_tpu.ops.resample import setup_filter
+
+    N, H, Ci, Co = shape
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(N, H, H, Ci), np.float32)
+    w = jnp.asarray(rng.randn(3, 3, Ci, Co), np.float32) * 0.1
+    f = jnp.asarray(setup_filter(jnp.asarray([1, 3, 3, 1]), separable=True))
+    ref = _sg2_up_chain_oracle(x, w, f, flip)
+    got = conv2d_resample(x, w, f=f, up=2, padding=1, flip_weight=flip)
+    assert got.shape == (N, 2 * H, 2 * H, Co)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("k,pad", [(3, 1), (1, 0)])
+def test_down2_composite_matches_chain(k, pad):
+    from ic_gan_tpu.ops.conv_resample import conv2d_resample
+    from ic_gan_tpu.ops.resample import setup_filter
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 16, 16, 5), np.float32)
+    w = jnp.asarray(rng.randn(k, k, 5, 6), np.float32) * 0.1
+    f = jnp.asarray(setup_filter(jnp.asarray([1, 3, 3, 1]), separable=True))
+    px0 = k // 2 + 1  # conv pad + (fw-down+1)//2
+    ref = _sg2_down_chain_oracle(x, w, f, px0, True)
+    got = conv2d_resample(x, w, f=f, down=2, padding=pad, flip_weight=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_composite_paths_gradients():
+    from ic_gan_tpu.ops.conv_resample import conv2d_resample
+    from ic_gan_tpu.ops.resample import setup_filter
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 8, 8, 3), np.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 4), np.float32) * 0.1
+    f = jnp.asarray(setup_filter(jnp.asarray([1, 3, 3, 1]), separable=True))
+
+    def up_new(x, w):
+        return jnp.sum(jnp.sin(conv2d_resample(x, w, f=f, up=2, padding=1,
+                                               flip_weight=False)))
+
+    def up_ref(x, w):
+        return jnp.sum(jnp.sin(_sg2_up_chain_oracle(x, w, f, False)))
+
+    for arg in (0, 1):
+        gn = jax.grad(up_new, arg)(x, w)
+        gr = jax.grad(up_ref, arg)(x, w)
+        np.testing.assert_allclose(np.asarray(gn), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-3)
