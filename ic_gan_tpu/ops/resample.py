@@ -6,8 +6,11 @@
 express it as a single ``lax.conv_general_dilated`` with LHS dilation (the
 zero-upsampling), explicit padding, and window strides (the downsampling) — the
 exact op the MXU/conv hardware path is built for, so no hand-written scatter is
-needed.  XLA lowers the depthwise conv to efficient vector code; a Pallas
-variant for small separable filters lives in ``ops/pallas/upfirdn2d.py``.
+needed.  Separable (1-D) filters skip the depthwise lowering entirely and run
+as banded-matrix MXU matmuls (see ``upfirdn2d``); a Pallas variant was tried
+across two rounds and never beat these formulations at any hot shape
+(measured ≤ 80 GB/s vs the band matmuls' 130-200), so it was removed —
+the winning Pallas kernels are row-shift (ADA warp) and SA-GAN attention.
 
 All image tensors are NHWC (TPU-native layout).  Gradients come for free from
 JAX's conv transpose rules and satisfy the same adjoint identity the reference
