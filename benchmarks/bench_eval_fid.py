@@ -20,6 +20,10 @@ import jax.numpy as jnp
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/ic_gan_tpu/xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 from __graft_entry__ import _fast_variables
 
 
@@ -73,21 +77,30 @@ def main(num_images=10000, batch=128, resolution=256):
           f"{num_images/dt_loop:.1f} img/s (generator + inception)")
     del outs
 
-    t0 = time.perf_counter()
-    out = evaluate_generator(
-        sample_fn, evaluator, ref_mu, ref_sigma,
-        num_images=num_images, batch=batch,
-    )
-    dt = time.perf_counter() - t0
-    print(f"full eval: {num_images} images in {dt:.1f}s = "
-          f"{num_images/dt:.1f} img/s (+ device metric tail)")
+    # Two full passes: the first pays any one-time metric-tail compiles
+    # (Newton-Schulz sqrtm, device IS — amortized in real use, where
+    # cli/test.py recomputes FID every eval interval with the same jitted
+    # executables and the persistent compile cache covers restarts); the
+    # second is the steady-state number.
+    dts = []
+    for tag in ("cold", "steady"):
+        t0 = time.perf_counter()
+        out = evaluate_generator(
+            sample_fn, evaluator, ref_mu, ref_sigma,
+            num_images=num_images, batch=batch,
+        )
+        dt = time.perf_counter() - t0
+        dts.append(dt)
+        print(f"full eval ({tag}): {num_images} images in {dt:.1f}s = "
+              f"{num_images/dt:.1f} img/s (+ device metric tail)")
     print({k: round(float(v), 3) for k, v in out.items()})
     from _results import record
 
     record("eval_fid", num_images=num_images, batch=batch,
            resolution=resolution,
            feature_loop_img_s=num_images / dt_loop,
-           e2e_img_s=num_images / dt, e2e_seconds=dt)
+           e2e_cold_seconds=dts[0],
+           e2e_img_s=num_images / dts[1], e2e_seconds=dts[1])
 
 
 if __name__ == "__main__":

@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit_step(step, state, batch, iters=8):
+    flops = None
+    try:
+        flops = (step.lower(state, batch, jax.random.PRNGKey(0))
+                 .compile().cost_analysis()["flops"])
+    except Exception:
+        pass
     state, m = step(state, batch, jax.random.PRNGKey(0))
     float(m["G_loss"])
     best = 1e9
@@ -31,7 +37,7 @@ def timeit_step(step, state, batch, iters=8):
             state, m = step(state, batch, jax.random.PRNGKey(i))
         float(m["G_loss"])
         best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    return best, flops
 
 
 def main():
@@ -76,7 +82,12 @@ def main():
                 g, d, tcfg, cfg.z_dim, do_pl=do_pl, do_r1=do_r1,
                 augment_fn=aug,
             ))
-            times[name] = timeit_step(step, state, batch)
+            times[name], flops = timeit_step(step, state, batch)
+            tfl = (flops or 0) / times[name] / 1e12
+            out[f"r{res}_{name}_tflops"] = tfl
+            out[f"r{res}_{name}_mfu_pct"] = tfl / 197 * 100
+            print(f"  {res}^2 {name} phase: {tfl:.1f} TFLOP/s "
+                  f"({tfl/197*100:.0f}% v5e bf16 peak)")
         # Reference lazy-reg cadence: D-reg every 16 steps, G-reg every 4 —
         # approximate the blended cost with the full-reg phase at 1/4 weight.
         blended = 0.75 * times["main"] + 0.25 * times["reg"]
