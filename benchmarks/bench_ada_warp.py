@@ -26,6 +26,11 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import os
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/ic_gan_tpu/xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
 def bench(f, arg, k=10, iters=3):

@@ -10,6 +10,11 @@ import time
 
 import jax
 import jax.numpy as jnp
+import os
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/ic_gan_tpu/xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 from ic_gan_tpu.ops.pallas.attention import sagan_attention, _attention_xla
 

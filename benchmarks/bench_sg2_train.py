@@ -20,6 +20,10 @@ import jax.numpy as jnp
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/ic_gan_tpu/xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 
 def timeit_step(step, state, batch, iters=8):
     flops = None

@@ -82,6 +82,13 @@ def row_shift(x: jax.Array, off: jax.Array, interpret: bool = False):
 
 
 def _row_shift_impl(x, off, interpret):
+    if x.dtype.itemsize < 4:
+        # Mosaic's dynamic_rotate handles 32-bit lanes only ("Rotate with
+        # non-32-bit data"); lerp accuracy wants f32 anyway.  Cast around the
+        # kernel — sub-word inputs (bf16 ADA pipes) stay supported.
+        return _row_shift_impl(
+            x.astype(jnp.float32), off, interpret
+        ).astype(x.dtype)
     B, L = x.shape
     dtype = x.dtype
     k = jnp.floor(off).astype(jnp.int32)

@@ -92,3 +92,16 @@ def test_fast_geom_close_to_exact_pipe():
         )
         err = np.abs(np.asarray(oe) - np.asarray(of))
         assert err.mean() < 5e-3 and err.max() < 5e-2, (dp, err.max())
+
+
+def test_bf16_input_supported():
+    """Sub-word inputs compute through the f32 kernel and come back in the
+    input dtype (Mosaic's dynamic_rotate is 32-bit-only — the kernel casts
+    around it, so bf16 ADA pipes don't crash the TPU compiler)."""
+    x, off = _data(L=32)
+    ref = frac_shift_rows(x, off, interpret=True)
+    got = frac_shift_rows(x.astype(jnp.bfloat16), off, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
