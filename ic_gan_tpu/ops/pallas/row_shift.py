@@ -38,84 +38,108 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _shift_kernel(L: int, n_bits: int, starts_ref, w0_ref, w1_ref, x_ref,
+def _shift_kernel(l_out: int, n_bits: int, starts_ref, w0_ref, w1_ref, x_ref,
                   o_ref):
     """Barrel-shift the whole (BR, Lp) tile: stage s rolls left by 2^s and
     keeps the rolled value only for rows whose shift has bit s set.  All
-    stages are static-amount lane rolls — full-width VPU, no per-row work."""
+    stages are static-amount lane rolls — full-width VPU, no per-row work.
+
+    Only the first ``l_out`` lanes of the shifted row are emitted, so both
+    the roll windows and the output write scale with l_out, not the input
+    length (the ADA warp shifts a 2L-wide scale window but keeps L columns).
+    """
     acc = x_ref[:]                      # (BR, Lp)
     starts = starts_ref[:]              # (BR, 1) int32
     # MSB→LSB with a shrinking window: before stage s the remaining shift is
-    # < 2^(s+1), so only [0, L + 2^(s+1)) lanes can still matter — crop to
-    # that (128-rounded) before rolling.  Total roll traffic ≈ n_bits·L
-    # instead of n_bits·3L.
+    # < 2^(s+1), so only [0, l_out + 2^(s+1)) lanes can still matter — crop
+    # to that (128-rounded) before rolling.  Total roll traffic ≈ n_bits·l_out
+    # instead of n_bits·Lp.
     for s in reversed(range(n_bits)):
-        Wn = min(acc.shape[1], -(-(L + (1 << (s + 1)) + 1) // 128) * 128)
+        Wn = min(acc.shape[1], -(-(l_out + (1 << (s + 1)) + 1) // 128) * 128)
         acc = acc[:, :Wn]
         # Left-roll by 2^s expressed as the (required-nonnegative)
-        # right-roll by Wn − 2^s; wrapped lanes land at ≥ Wn − 2^s ≥ L + 2^s,
-        # beyond every position later stages can read.
+        # right-roll by Wn − 2^s.  Wrapped lanes land at ≥ Wn − 2^s and then
+        # move down by the row's remaining shift r: when the window formula
+        # sets Wn, r < 2^s keeps them ≥ l_out + 1; when Lp crops Wn (top
+        # stages, 2^(s+1) > max start), r ≤ max_start − 2^s and
+        # Lp ≥ max_start + l_out + 1 keeps them ≥ l_out + 1.  Either way the
+        # junk stays beyond every lane the output reads.
         rolled = pltpu.roll(acc, Wn - (1 << s), axis=1)
         take = (starts & (1 << s)) != 0  # (BR, 1), broadcasts over lanes
         acc = jnp.where(take, rolled, acc)
-    o_ref[:, :] = acc[:, :L] * w0_ref[:] + acc[:, 1 : L + 1] * w1_ref[:]
+    o_ref[:, :] = (
+        acc[:, :l_out] * w0_ref[:] + acc[:, 1 : l_out + 1] * w1_ref[:]
+    )
 
 
-def row_shift(x: jax.Array, off: jax.Array, interpret: bool = False):
-    """out[b, l] = x[b, l + off[b]] (linear interp, zero outside [0, L)).
+def row_shift(x: jax.Array, off: jax.Array, interpret: bool = False,
+              l_out: int | None = None):
+    """out[b, l] = x[b, l + off[b]] for l < l_out (linear interp, zero
+    outside [0, L)).
 
-    x: (B, L) float; off: (B,) float pixels.  The op is linear in ``x`` with
-    adjoint ``row_shift(·, -off)`` (symmetric triangle kernel, symmetric zero
-    padding), registered via ``jax.custom_derivatives.linear_call`` — so it
-    differentiates to ANY order through the Pallas kernel itself (R1 /
-    path-length take grad-of-grad through the augmentation pipe), and the
-    backward pass is gather-free too.  ``off`` carries no tangent (ADA's
-    transform draws are random, not learned).  ``interpret=True`` runs the
-    kernel in the Pallas interpreter (CPU tests).
+    x: (B, L) float; off: (B,) float pixels; ``l_out`` defaults to L and may
+    be smaller (the ADA warp keeps only L of its 2L-wide scale window — the
+    crop inside the kernel halves the output writes and roll work) or larger
+    (the adjoint of a cropped shift).  The op is linear in ``x`` with adjoint
+    ``row_shift(·, -off, l_out=L)`` (transpose of the (l_out × L) banded
+    interpolation matrix), registered via
+    ``jax.custom_derivatives.linear_call`` — so it differentiates to ANY
+    order through the Pallas kernel itself (R1 / path-length take
+    grad-of-grad through the augmentation pipe), and the backward pass is
+    gather-free too.  ``off`` carries no tangent (ADA's transform draws are
+    random, not learned).  ``interpret=True`` runs the kernel in the Pallas
+    interpreter (CPU tests).
     """
+    L = x.shape[1]
+    if l_out is None:
+        l_out = L
     return jax.custom_derivatives.linear_call(
-        lambda off_, x_: _row_shift_impl(x_, off_, interpret),
-        lambda off_, ct: _row_shift_impl(ct, -off_, interpret),
+        lambda off_, x_: _row_shift_impl(x_, off_, interpret, l_out),
+        lambda off_, ct: _row_shift_impl(ct, -off_, interpret, L),
         off,
         x,
     )
 
 
-def _row_shift_impl(x, off, interpret):
+def _row_shift_impl(x, off, interpret, l_out=None):
+    if l_out is None:
+        l_out = x.shape[1]
     if x.dtype.itemsize < 4:
         # Mosaic's dynamic_rotate handles 32-bit lanes only ("Rotate with
         # non-32-bit data"); lerp accuracy wants f32 anyway.  Cast around the
         # kernel — sub-word inputs (bf16 ADA pipes) stay supported.
         return _row_shift_impl(
-            x.astype(jnp.float32), off, interpret
+            x.astype(jnp.float32), off, interpret, l_out
         ).astype(x.dtype)
     B, L = x.shape
     dtype = x.dtype
     k = jnp.floor(off).astype(jnp.int32)
     f = (off - k).astype(jnp.float32)
-    valid = (jnp.abs(k) <= L).astype(jnp.float32)
-    kc = jnp.clip(k, -L, L)
+    # Shifts with k < -l_out or k > L read no in-frame pixel for any emitted
+    # lane — clamp them to the sentinel bounds and zero the row.
+    valid = ((k >= -l_out) & (k <= L)).astype(jnp.float32)
+    kc = jnp.clip(k, -l_out, L)
     w0 = ((1.0 - f) * valid).astype(dtype)
     w1 = (f * valid).astype(dtype)
 
-    # Padded row: L zeros left (negative starts), then enough right padding
-    # that the largest barrel roll (start ≤ 2L, plus the L+1 lerp window)
-    # never wraps meaningful data into [0, L+1); round to the 128-lane tile.
-    Lp = ((3 * L + 2 + 127) // 128) * 128
-    n_bits = max(1, int(np.ceil(np.log2(2 * L + 1))))
-    # Block size under the ~16 MB scoped VMEM: in (BR, Lp) + out (BR, L),
+    # Padded row: l_out zeros left (negative starts), then enough right
+    # padding that the largest read (start ≤ L + l_out, plus the l_out + 1
+    # lerp window) stays in bounds; round to the 128-lane tile.
+    Lp = ((L + 2 * l_out + 1 + 127) // 128) * 128
+    n_bits = max(1, int(np.ceil(np.log2(L + l_out + 1))))
+    # Block size under the ~16 MB scoped VMEM: in (BR, Lp) + out (BR, l_out),
     # double-buffered, plus a couple of live roll temporaries.
-    bytes_per_row = (4 * Lp + L) * x.dtype.itemsize
+    bytes_per_row = (4 * Lp + l_out) * x.dtype.itemsize
     BR = max(8, min(512, (8 * 1024 * 1024 // bytes_per_row) // 8 * 8))
     BR = min(BR, max(8, B))
     Bp = ((B + BR - 1) // BR) * BR
-    xp = jnp.pad(x, ((0, Bp - B), (L, Lp - 2 * L)))
-    starts = jnp.pad(kc + L, (0, Bp - B))[:, None]  # in-bounds: [0, 2L]
+    xp = jnp.pad(x, ((0, Bp - B), (l_out, Lp - L - l_out)))
+    starts = jnp.pad(kc + l_out, (0, Bp - B))[:, None]  # in [0, L + l_out]
     w0 = jnp.pad(w0, (0, Bp - B))[:, None]
     w1 = jnp.pad(w1, (0, Bp - B))[:, None]
 
     out = pl.pallas_call(
-        functools.partial(_shift_kernel, L, n_bits),
+        functools.partial(_shift_kernel, l_out, n_bits),
         grid=(Bp // BR,),
         in_specs=[
             pl.BlockSpec((BR, 1), lambda i: (i, 0),
@@ -127,23 +151,26 @@ def _row_shift_impl(x, off, interpret):
             pl.BlockSpec((BR, Lp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BR, L), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((BR, l_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, L), dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, l_out), dtype),
         interpret=interpret,
     )(starts, w0, w1, xp)
     return out[:B]
 
 
 def frac_shift_rows(x: jax.Array, off: jax.Array,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    l_out: int | None = None) -> jax.Array:
     """Drop-in for ``fast_warp._frac_shift_rows``: x (N, R, L, C), off (N, R).
 
     Channels share their row's offset, so they flatten into the row axis
     ((N, R, C) rows of length L) with the offsets repeated per channel.
     """
     N, R, L, C = x.shape
+    if l_out is None:
+        l_out = L
     rows = jnp.transpose(x, (0, 1, 3, 2)).reshape(N * R * C, L)
     off_rows = jnp.repeat(off.reshape(N * R), C)
-    out = row_shift(rows, off_rows, interpret)
-    return jnp.transpose(out.reshape(N, R, C, L), (0, 1, 3, 2))
+    out = row_shift(rows, off_rows, interpret, l_out=l_out)
+    return jnp.transpose(out.reshape(N, R, C, l_out), (0, 1, 3, 2))

@@ -105,3 +105,67 @@ def test_bf16_input_supported():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
     )
+
+
+def test_l_out_crop_matches_full_shift():
+    """Rectangular kernel (l_out < L): equals the full shift cropped to
+    [:l_out] — the ADA warp keeps L of its 2L scale window inside the
+    kernel instead of writing the full width and slicing."""
+    rng = np.random.RandomState(3)
+    B, L, l_out = 9, 64, 24
+    x = jnp.asarray(rng.randn(B, L).astype(np.float32))
+    off = jnp.asarray((rng.rand(B).astype(np.float32) - 0.5) * 150)
+    full = row_shift(x, off, True)
+    crop = row_shift(x, off, True, l_out=l_out)
+    np.testing.assert_allclose(
+        np.asarray(crop), np.asarray(full)[:, :l_out], atol=1e-6
+    )
+    # And l_out > L (the adjoint's geometry): against the dense oracle.
+    wide = row_shift(x, off, True, l_out=L + 40)
+    k = np.floor(np.asarray(off)).astype(int)
+    f = np.asarray(off) - k
+    xp = np.pad(np.asarray(x), ((0, 0), (2 * L + 64, 2 * L + 64)))
+    base = 2 * L + 64
+    want = np.stack([
+        (xp[b, base + k[b] : base + k[b] + L + 40] * (1 - f[b])
+         + xp[b, base + k[b] + 1 : base + k[b] + 41 + L] * f[b])
+        if abs(k[b]) <= L + 40 else np.zeros(L + 40)
+        for b in range(B)
+    ])
+    # Rows whose shift k > L (reads fully right of the frame) are zero both
+    # ways; k < -(L+40) likewise.
+    want[(k > L) | (k < -(L + 40))] = 0.0
+    np.testing.assert_allclose(np.asarray(wide), want, atol=1e-6)
+
+
+def test_l_out_adjoint_is_transpose():
+    """grad through the cropped shift == multiplying by the transpose of the
+    dense (l_out × L) interpolation matrix (the linear_call adjoint swaps
+    the rectangle's sides)."""
+    rng = np.random.RandomState(4)
+    B, L, l_out = 4, 40, 16
+    x = jnp.asarray(rng.randn(B, L).astype(np.float32))
+    off = jnp.asarray((rng.rand(B).astype(np.float32) - 0.5) * 90)
+    ct = jnp.asarray(rng.randn(B, l_out).astype(np.float32))
+
+    # Dense matrix of the forward map, column by column.
+    eye = np.eye(L, dtype=np.float32)
+    M = np.stack([
+        np.asarray(row_shift(jnp.broadcast_to(eye[i], (B, L)), off, True,
+                             l_out=l_out))
+        for i in range(L)
+    ], axis=-1)  # (B, l_out, L)
+    want = np.einsum("bol,bo->bl", M, np.asarray(ct))
+    _, vjp = jax.vjp(lambda a: row_shift(a, off, True, l_out=l_out), x)
+    got = np.asarray(vjp(ct)[0])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # Second order: grad-of-grad stays consistent with the XLA oracle.
+    def loss(fn):
+        return lambda a: jnp.sum(jnp.sin(fn(a)))
+    from ic_gan_tpu.data.fast_warp import _frac_shift_rows_2d
+    f_ref = loss(lambda a: _frac_shift_rows_2d(a, off, l_out))
+    f_new = loss(lambda a: row_shift(a, off, True, l_out=l_out))
+    h_ref = jax.grad(lambda a: jnp.sum(jax.grad(f_ref)(a) ** 2))(x)
+    h_new = jax.grad(lambda a: jnp.sum(jax.grad(f_new)(a) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(h_new), np.asarray(h_ref),
+                               atol=1e-5)
