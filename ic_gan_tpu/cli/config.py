@@ -92,6 +92,8 @@ CONSUMED_KEYS = {
     "fid_b",
     # TFHub conversion (cli/convert_tfhub.py)
     "dump", "pth_out", "sample_grid", "sample_batch", "no_ema",
+    # metric registry runner (cli/calc_metrics.py; ref calc_metrics.py)
+    "metrics", "run_dir", "ppl_num_samples",
 }
 
 # StyleGAN2 front-end keys consumed by cli/train_stylegan2.py::setup_configs.

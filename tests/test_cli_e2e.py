@@ -64,6 +64,12 @@ def run_cli(mod, cfg, **extra):
     mod.main(argv)
 
 
+def run_cli_ret(mod, cfg, **extra):
+    cfg = dict(cfg, **extra)
+    argv = ["--set"] + [f"{k}={json.dumps(v)}" for k, v in cfg.items()]
+    return mod.main(argv)
+
+
 def test_01_prepare_data(workdir):
     from ic_gan_tpu.cli import prepare_data
 
@@ -141,3 +147,25 @@ def test_04_quantitative_eval(workdir):
     npz = np.load(workdir / "samples.npz")
     assert npz["x"].shape == (8, 3, 32, 32)
     assert npz["x"].dtype == np.uint8
+
+
+def test_05_calc_metrics(workdir):
+    """calc_metrics CLI (ref ``stylegan2_ada_pytorch/calc_metrics.py``):
+    registry metrics against the trained checkpoint, jsonl result files."""
+    from ic_gan_tpu.cli import calc_metrics
+
+    run_dir = str(workdir / "metric_runs")
+    out = run_cli_ret(
+        calc_metrics, base_cfg(workdir),
+        metrics="fid50k_full,is50k,kid50k_full,pr50k3",
+        num_inception_images=16, prdc_ref_images=16, run_dir=run_dir,
+    )
+    for key in ("fid50k_full", "is50k_mean", "kid50k_full",
+                "pr50k3_precision", "pr50k3_recall"):
+        assert key in out and np.isfinite(out[key])
+    rec = json.loads(
+        (workdir / "metric_runs" / "metric-fid50k_full.jsonl")
+        .read_text().splitlines()[-1]
+    )
+    assert rec["metric"] == "fid50k_full"
+    assert np.isfinite(rec["results"]["fid50k_full"])
