@@ -94,6 +94,10 @@ CONSUMED_KEYS = {
     "dump", "pth_out", "sample_grid", "sample_batch", "no_ema",
     # metric registry runner (cli/calc_metrics.py; ref calc_metrics.py)
     "metrics", "run_dir", "ppl_num_samples",
+    # sheet/visualization CLI (cli/visualize.py; ref sample.py +
+    # style_mixing.py) and the W-space projector (cli/projector.py)
+    "mode", "num_midpoints", "num_rows", "row_seeds", "col_seeds",
+    "col_styles", "target", "num_steps", "w_avg_samples",
 }
 
 # StyleGAN2 front-end keys consumed by cli/train_stylegan2.py::setup_configs.

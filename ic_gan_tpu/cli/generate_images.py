@@ -16,6 +16,7 @@ from ic_gan_tpu.cli.config import parse_args
 from ic_gan_tpu.cli.inference import (
     get_conditionings,
     load_model_inference,
+    load_stored_features,
     save_image_grid,
 )
 
@@ -25,15 +26,7 @@ def main(argv=None):
     apply_fn, model_cfg = load_model_inference(cfg)
 
     # Stored 1000-k-means instance features (ref generate_images.py:25-45).
-    feats_path = cfg["stored_features"]
-    stored = np.load(feats_path, allow_pickle=True)
-    if hasattr(stored, "item") and stored.dtype == object:
-        stored = stored.item()
-        features = np.asarray(stored.get("instance_features", stored.get("feats")))
-        labels = stored.get("labels")
-    else:
-        features = np.asarray(stored)
-        labels = None
+    features, labels = load_stored_features(cfg["stored_features"])
 
     num_instances = cfg.get("num_conditionings_gen", 5)
     num_imgs_gen = cfg.get("num_imgs_gen", 5)

@@ -213,6 +213,26 @@ def get_conditionings(
     return z, labels, feats
 
 
+def load_stored_features(path: str):
+    """Load a stored instance-feature file (the k-means selections of
+    ``generate_images.py:25-45``): either a plain ``(N, h_dim)`` array or a
+    dict npy with ``instance_features``/``feats`` and optional ``labels``.
+
+    Returns ``(features, labels_or_None)``.
+    """
+    stored = np.load(path, allow_pickle=True)
+    if hasattr(stored, "item") and stored.dtype == object:
+        stored = stored.item()
+        features = np.asarray(
+            stored.get("instance_features", stored.get("feats"))
+        )
+        labels = stored.get("labels")
+    else:
+        features = np.asarray(stored)
+        labels = None
+    return features, labels
+
+
 def save_image_grid(images: np.ndarray, path: str, nrow: int = 8):
     """[-1,1] NHWC float → PNG grid."""
     from PIL import Image

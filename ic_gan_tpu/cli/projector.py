@@ -129,3 +129,68 @@ def project(
 
     w_full = jnp.broadcast_to(w_opt, (num_ws, w_opt.shape[-1]))
     return w_full, history
+
+
+def main(argv=None):
+    """Projection CLI (reference ``projector.py:147-186``): load a StyleGAN2
+    network, center-crop + resize the target, optimize w, save
+    ``target.png`` / ``proj.png`` / ``projected_w.npz`` into ``out_dir``."""
+    import os
+
+    from PIL import Image
+
+    from ic_gan_tpu.cli.config import parse_args
+    from ic_gan_tpu.cli.inference import (
+        load_generator,
+        load_stored_features,
+        save_image_grid,
+    )
+
+    cfg = parse_args(argv)
+    cfg.setdefault("backbone", "stylegan2")
+    g, variables, model_cfg = load_generator(cfg)
+    res = model_cfg.img_resolution
+
+    # Center square crop + LANCZOS resize (ref projector.py:150-155).
+    img = Image.open(cfg["target"]).convert("RGB")
+    s = min(img.size)
+    left, top = (img.size[0] - s) // 2, (img.size[1] - s) // 2
+    img = img.crop((left, top, left + s, top + s)).resize(
+        (res, res), Image.LANCZOS
+    )
+    target = jnp.asarray(np.asarray(img, np.float32) / 127.5 - 1.0)
+
+    cond_feats = None
+    if cfg.get("stored_features") and getattr(model_cfg, "h_dim", 0):
+        feats, _ = load_stored_features(cfg["stored_features"])
+        cond_feats = jnp.asarray(feats[cfg.get("input_feature_index", 0)])
+
+    w_opt, history = project(
+        g, variables, target,
+        cond_feats=cond_feats,
+        num_steps=cfg.get("num_steps", 1000),
+        w_avg_samples=cfg.get("w_avg_samples", 10000),
+        seed=cfg.get("seed", 0),
+        verbose=True,
+    )
+
+    out_dir = cfg.get("out_dir", "proj")
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(
+        os.path.join(out_dir, "projected_w.npz"), w=np.asarray(w_opt)[None]
+    )
+    final = g.apply(
+        variables, w_opt[None], method=g.synthesize, noise_mode="const",
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    save_image_grid(np.asarray(target)[None], os.path.join(out_dir, "target.png"), nrow=1)
+    save_image_grid(np.asarray(final), os.path.join(out_dir, "proj.png"), nrow=1)
+    print(
+        f"projected in {len(history)} steps, final loss {history[-1]:.4f}; "
+        f"outputs in {out_dir}"
+    )
+    return history
+
+
+if __name__ == "__main__":
+    main()

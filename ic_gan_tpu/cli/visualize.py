@@ -2,9 +2,21 @@
 style-mixing grids.
 
 Reference: ``BigGAN_PyTorch/utils.py:1402-1562`` (``sample_sheet`` — per-class
-grids; ``interp_sheet`` — z/y interpolation with ``fix_z``/``fix_y`` modes)
-and ``stylegan2_ada_pytorch/style_mixing.py`` (row/col seed grid with style
+grids; ``interp_sheet`` — z/y interpolation with ``fix_z``/``fix_y`` modes),
+``BigGAN_PyTorch/sample.py`` (the ``--sample_sheets``/``--sample_interps``/
+``--sample_random`` flag surface, ``utils.py:882-940``) and
+``stylegan2_ada_pytorch/style_mixing.py`` (row/col seed grid with style
 crossover).
+
+Command usage (all sheet kinds in one invocation, reference-flag compatible):
+
+    python -m ic_gan_tpu.cli.visualize --json_config cfg.json \
+        --set stored_features=feats.npy sample_sheets=true \
+              sample_interps=true out_dir=sheets/
+
+    python -m ic_gan_tpu.cli.visualize --set backbone=stylegan2 \
+        network_pkl=net.pkl mode=style_mixing row_seeds=85,100,75 \
+        col_seeds=55,821 col_styles=0-6 out_dir=sheets/
 """
 
 from __future__ import annotations
@@ -138,3 +150,164 @@ def style_mixing_grid(
     if path:
         save_image_grid(imgs, path, nrow=len(col_seeds))
     return imgs
+
+
+def _parse_num_list(spec, default):
+    """Reference seed-list syntax (``style_mixing.py:_parse_num_range``):
+    comma-separated ints, each item optionally an ``a-b`` inclusive range."""
+    if spec is None:
+        spec = default
+    if isinstance(spec, (list, tuple)):
+        return [int(s) for s in spec]
+    if isinstance(spec, int):
+        return [spec]
+    out = []
+    for item in str(spec).split(","):
+        item = item.strip()
+        if "-" in item[1:]:
+            a, b = item.rsplit("-", 1)
+            out.extend(range(int(a), int(b) + 1))
+        else:
+            out.append(int(item))
+    return out
+
+
+def main(argv=None):
+    """Sheet generator CLI (reference ``BigGAN_PyTorch/sample.py`` +
+    ``stylegan2_ada_pytorch/style_mixing.py``)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from ic_gan_tpu.cli.config import parse_args
+    from ic_gan_tpu.cli.inference import (
+        load_model_inference,
+        load_stored_features,
+    )
+
+    cfg = parse_args(argv)
+    mode = cfg.get("mode")
+    modes = [mode] if mode else [
+        m for flag, m in (
+            ("sample_sheets", "sample_sheet"),
+            ("sample_interps", "interp"),
+            ("sample_random", "random"),
+        ) if cfg.get(flag)
+    ] or ["sample_sheet"]
+
+    apply_fn, model_cfg = load_model_inference(cfg)
+    dim_z = getattr(model_cfg, "effective_dim_z", None) or model_cfg.z_dim
+    z_var = cfg.get("z_var", 1.0)
+    seed = cfg.get("seed", 0)
+    out_dir = cfg.get("out_dir", "sheets")
+    os.makedirs(out_dir, exist_ok=True)
+
+    features = labels = None
+    if cfg.get("stored_features"):
+        features, labels = load_stored_features(cfg["stored_features"])
+
+    class_cond = bool(getattr(model_cfg, "class_cond", False))
+    written = []
+
+    def _conditionings(n):
+        """(label, feats) pairs: stored instances when given, else classes
+        (the reference's per-class sheets, ``utils.py:1402-1460``)."""
+        conds = []
+        if features is not None:
+            for i in range(min(n, len(features))):
+                lab = (
+                    labels[i]
+                    if labels is not None and class_cond else None
+                )
+                conds.append((lab, features[i]))
+        else:
+            for c in range(min(n, getattr(model_cfg, "n_classes", n))):
+                conds.append((c, None))
+        return conds
+
+    for m in modes:
+        if m == "sample_sheet":
+            path = os.path.join(out_dir, "sample_sheet.png")
+            sample_sheet(
+                apply_fn, dim_z, _conditionings(cfg.get("num_conditionings_gen", 8)),
+                samples_per_cond=cfg.get("num_imgs_gen", 8),
+                z_var=z_var, seed=seed, path=path,
+            )
+            written.append(path)
+        elif m == "interp":
+            # The reference's three interp variants (sample.py →
+            # utils.interp_sheet fix_z/fix_y modes): interpolate both, z
+            # only, conditioning only.
+            variants = [("interp_zfeats", False, False)]
+            if features is not None:
+                variants += [("interp_z", False, True),
+                             ("interp_feats", True, False)]
+            for name, fix_z, fix_feats in variants:
+                path = os.path.join(out_dir, f"{name}.png")
+                interp_sheet(
+                    apply_fn, dim_z,
+                    num_midpoints=cfg.get("num_midpoints", 8),
+                    num_rows=cfg.get("num_rows", 4),
+                    fix_z=fix_z, fix_feats=fix_feats,
+                    feats_bank=features, z_var=z_var, seed=seed, path=path,
+                )
+                written.append(path)
+        elif m == "random":
+            import jax as _jax
+
+            n = cfg.get("num_samples", 64)
+            rng = _jax.random.PRNGKey(seed)
+            z = _jax.random.normal(rng, (n, dim_z)) * np.sqrt(z_var)
+            lab = f = None
+            if features is not None:
+                idx = np.random.RandomState(seed).randint(0, len(features), n)
+                f = jnp.asarray(features[idx])
+                if labels is not None and class_cond:
+                    lab = jnp.asarray(labels[idx])
+            elif class_cond:
+                lab = jnp.asarray(
+                    np.random.RandomState(seed).randint(
+                        0, model_cfg.n_classes, n
+                    )
+                )
+            imgs = np.asarray(apply_fn(z, lab, f))
+            path = os.path.join(out_dir, "random.png")
+            save_image_grid(imgs, path, nrow=8)
+            written.append(path)
+        elif m == "style_mixing":
+            if cfg.get("backbone", "biggan") != "stylegan2":
+                raise ValueError("style_mixing needs backbone=stylegan2")
+            g, vs = apply_fn.module, apply_fn.variables
+            psi = cfg.get("truncation_psi", 1.0)
+            cond = None
+            if features is not None and getattr(model_cfg, "h_dim", 0):
+                cond = features[cfg.get("input_feature_index", 0)]
+            map_ws = jax.jit(
+                lambda z, f: g.apply(
+                    vs, z, None, f, method=g.map_ws, truncation_psi=psi
+                )
+            )
+            synthesize = jax.jit(
+                lambda ws: g.apply(
+                    vs, ws, method=g.synthesize, noise_mode="const"
+                )
+            )
+            path = os.path.join(out_dir, "style_mixing.png")
+            style_mixing_grid(
+                map_ws, synthesize, model_cfg.z_dim,
+                row_seeds=_parse_num_list(cfg.get("row_seeds"), "85,100,75,458"),
+                col_seeds=_parse_num_list(cfg.get("col_seeds"), "55,821,1789"),
+                col_styles=_parse_num_list(cfg.get("col_styles"), "0-6"),
+                cond_feats=cond, truncation_psi=psi, path=path,
+            )
+            written.append(path)
+        else:
+            raise ValueError(f"unknown visualize mode {m!r}")
+
+    for p in written:
+        print(f"wrote {p}")
+    return written
+
+
+if __name__ == "__main__":
+    main()

@@ -169,3 +169,25 @@ def test_05_calc_metrics(workdir):
     )
     assert rec["metric"] == "fid50k_full"
     assert np.isfinite(rec["results"]["fid50k_full"])
+
+
+def test_06_visualize_cli(workdir):
+    """Sheet CLI (ref ``BigGAN_PyTorch/sample.py`` sheet flags): all three
+    sheet kinds against the trained checkpoint + stored k-means features."""
+    from ic_gan_tpu.cli import visualize
+
+    out_dir = workdir / "sheets"
+    written = run_cli_ret(
+        visualize, base_cfg(workdir),
+        stored_features=str(workdir / "stored_feats.npy"),
+        sample_sheets=True, sample_interps=True, sample_random=True,
+        num_conditionings_gen=2, num_imgs_gen=3, num_midpoints=2, num_rows=2,
+        num_samples=8, out_dir=str(out_dir),
+    )
+    names = {os.path.basename(p) for p in written}
+    assert names == {"sample_sheet.png", "interp_zfeats.png", "interp_z.png",
+                     "interp_feats.png", "random.png"}
+    sheet = np.asarray(Image.open(out_dir / "sample_sheet.png"))
+    assert sheet.shape == (2 * 32, 3 * 32, 3)  # 2 conds x 3 samples
+    interp = np.asarray(Image.open(out_dir / "interp_zfeats.png"))
+    assert interp.shape == (2 * 32, 4 * 32, 3)  # 2 rows x (2 mid + 2 ends)
