@@ -65,26 +65,31 @@ def main(argv=None):
 
     counter = [0]
 
-    def sample(b):
-        counter[0] += 1
-        rng = jax.random.PRNGKey(cfg.get("seed", 0) + counter[0])
-        if dataset.which_nn_balance == "instance_balance":
-            labels, feats = dataset.sample_conditioning_instance_balance(b)
-        else:
-            labels, feats = dataset.sample_conditioning_nnclass_balance(
-                b, num_classes=model_cfg.n_classes
+    def make_sample(var):
+        def sample(b):
+            counter[0] += 1
+            rng = jax.random.PRNGKey(cfg.get("seed", 0) + counter[0])
+            if dataset.which_nn_balance == "instance_balance":
+                labels, feats = dataset.sample_conditioning_instance_balance(b)
+            else:
+                labels, feats = dataset.sample_conditioning_nnclass_balance(
+                    b, num_classes=model_cfg.n_classes
+                )
+            z = jax.random.normal(rng, (b, dim_z)) * np.sqrt(var)
+            # device_output: the images feed straight into the on-device
+            # Inception pass — fetching them to host costs ~100 MB/batch over
+            # the relay tunnel and dominated the eval loop.
+            imgs = apply_fn(
+                z,
+                jnp.asarray(labels) if model_cfg.class_cond else None,
+                jnp.asarray(feats) if model_cfg.instance_cond else None,
+                device_output=True,
             )
-        z = jax.random.normal(rng, (b, dim_z)) * np.sqrt(z_var)
-        # device_output: the images feed straight into the on-device
-        # Inception pass — fetching them to host costs ~100 MB/batch over
-        # the relay tunnel and dominated the eval loop.
-        imgs = apply_fn(
-            z,
-            jnp.asarray(labels) if model_cfg.class_cond else None,
-            jnp.asarray(feats) if model_cfg.instance_cond else None,
-            device_output=True,
-        )
-        return imgs, labels if model_cfg.class_cond else None
+            return imgs, labels if model_cfg.class_cond else None
+
+        return sample
+
+    sample = make_sample(z_var)
 
     stratified = None
     samples_per_class = None
@@ -131,6 +136,31 @@ def main(argv=None):
         samples_per_class=samples_per_class,
     )
     print({k: round(float(v), 4) for k, v in metrics.items()})
+
+    if cfg.get("sample_trunc_curves"):
+        # Truncation curves (ref flag ``--sample_trunc_curves``,
+        # ``utils.py:923-932``: "start_step_end" z-variance sweep, IS/FID at
+        # each point; the reference parser defines the flag but ships no
+        # consumer script — this is the consumer).
+        start, step, end = (
+            float(v) for v in str(cfg["sample_trunc_curves"]).split("_")
+        )
+        curve = []
+        var = start
+        while var <= end + 1e-9:
+            m = evaluate_generator(
+                make_sample(var), evaluator, ref["mu"], ref["sigma"],
+                num_images=cfg.get("num_inception_images", 50000),
+                batch=cfg.get("eval_batch_size", 64),
+            )
+            point = {"z_var": round(var, 6),
+                     **{k: float(v) for k, v in m.items()}}
+            print(f"trunc z_var={var:.3f}: "
+                  f"IS {point['IS_mean']:.3f} FID {point['FID']:.3f}")
+            curve.append(point)
+            var += step
+        metrics = dict(metrics, trunc_curves=curve)
+
     out = cfg.get("metrics_out", "")
     if out:
         np.save(out, metrics, allow_pickle=True)

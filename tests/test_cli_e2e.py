@@ -140,10 +140,15 @@ def test_04_quantitative_eval(workdir):
         sample_npz=True, sample_num_npz=8,
         npz_path=str(workdir / "samples.npz"),
         metrics_out=str(workdir / "metrics.npy"),
+        sample_trunc_curves="0.5_0.5_1.0",
     )
     m = np.load(workdir / "metrics.npy", allow_pickle=True).item()
     for key in ("IS_mean", "FID", "precision", "recall", "density", "coverage"):
         assert key in m
+    curve = m["trunc_curves"]
+    assert [p["z_var"] for p in curve] == [0.5, 1.0]
+    assert all(np.isfinite(p["FID"]) and np.isfinite(p["IS_mean"])
+               for p in curve)
     npz = np.load(workdir / "samples.npz")
     assert npz["x"].shape == (8, 3, 32, 32)
     assert npz["x"].dtype == np.uint8
