@@ -50,7 +50,7 @@ CONSUMED_KEYS = {
     "experiment_name", "weights_root", "logs_root", "samples_root",
     "base_root", "num_epochs", "test_every", "save_every",
     "num_save_copies", "num_best_copies", "which_best", "es_patience",
-    "seed", "deterministic_run", "n_nodes", "n_gpus_per_node",
+    "seed", "deterministic_run", "n_nodes", "n_gpus_per_node", "no_tb",
     "use_ema", "G_eval_mode", "accumulate_stats",
     "num_standing_accumulations", "stop_when_diverge", "sv_log_interval",
     "log_G_spectra", "log_D_spectra",
@@ -120,7 +120,7 @@ SUPERSEDED_KEYS = {
     "no_pin_memory", "pin_memory", "load_in_mem", "use_multiepoch_sampler",
     "use_checkpointable_sampler", "cross_replica", "syncbn", "mybn",
     "slurm", "slurm_logdir", "slurm_time", "partition", "port", "gpus",
-    "nodes", "workers", "nobench", "nhwc", "fp32", "pbar", "no_tb",
+    "nodes", "workers", "nobench", "nhwc", "fp32", "pbar",
 }
 
 # Supported only at the reference default — anything else warns (value):
@@ -287,6 +287,7 @@ def _split_train_and_data(cfg: Dict[str, Any]):
         sv_log_interval=g("sv_log_interval", 0),
         log_G_spectra=g("log_G_spectra", False),
         log_D_spectra=g("log_D_spectra", False),
+        enable_tb=not g("no_tb", False),
     )
     data_kwargs = dict(
         resolution=g("resolution", 64),

@@ -82,6 +82,7 @@ def setup_configs(cfg: dict):
         augment_spec=cfg.get("augpipe", "bgc"),
         augment_p_init=cfg.get("p", 0.0),
         seed=cfg.get("seed", 0),
+        enable_tb=not cfg.get("no_tb", False),
     )
     return model, train, loop
 

@@ -49,6 +49,9 @@ class SG2LoopConfig:
     augment_p_init: float = 0.0
     seed: int = 0
     early_stop_metric_ticks: Optional[int] = None  # FID patience in evals
+    # TensorBoard event files next to stats.jsonl (ref
+    # training_loop.py:389-396,698-715; native writer, no TF).
+    enable_tb: bool = True
 
 
 class SG2Trainer:
@@ -112,6 +115,11 @@ class SG2Trainer:
         self.metric_log = MetricsLogger(
             os.path.join(self.run_dir, "metric-fid.jsonl")
         )
+        self.tb = None
+        if loop_cfg.enable_tb:
+            from ic_gan_tpu.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(os.path.join(self.run_dir, "tb"))
         self.best_fid = float("inf")
         self.evals_no_improvement = 0
 
@@ -169,6 +177,11 @@ class SG2Trainer:
                     **{k: float(v) for k, v in metrics.items()},
                 }
                 self.stats_log.log(rec)
+                if self.tb:
+                    # Reference tags events by nimg (training_loop.py:707).
+                    self.tb.add_scalars(
+                        {f"Progress/{k}": v for k, v in rec.items()}, cur_nimg
+                    )
                 print(
                     f"tick {tick} kimg {rec['kimg']:.1f} "
                     f"{sec_per_kimg:.1f}s/kimg p={rec['augment_p']:.3f} "
@@ -189,6 +202,11 @@ class SG2Trainer:
                         self.metric_log.log(
                             {"results": m, "snapshot_kimg": cur_nimg / 1000}
                         )
+                        if self.tb:
+                            self.tb.add_scalars(
+                                {f"Metrics/{k}": v for k, v in m.items()},
+                                cur_nimg,
+                            )
                         fid = m.get("FID", float("inf"))
                         if fid < self.best_fid:
                             self.best_fid = fid

@@ -75,6 +75,10 @@ class TrainerConfig:
     # Informational: reference world size (n_nodes * n_gpus_per_node) the
     # global batch derivation came from.
     world_size: int = 1
+    # TensorBoard event files next to the jsonl logs (ref
+    # training_loop.py:389-396 enables TB when importable; ``no_tb`` off
+    # switch). Written natively — no tensorboard/TF dependency.
+    enable_tb: bool = True
     # Capture a jax.profiler trace of steps [profile_start, profile_start+3)
     # into this directory (tensorboard-viewable) — the reference's
     # record_function/CUDA-event instrumentation equivalent (SURVEY.md §5.1).
@@ -171,6 +175,11 @@ class Trainer:
             os.path.join(logs_dir, f"{trainer_cfg.experiment_name}_test_log.jsonl")
         )
         self.metric_log = MetricLogger(logs_dir)
+        self.tb = None
+        if trainer_cfg.enable_tb and self.is_main:
+            from ic_gan_tpu.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(os.path.join(logs_dir, "tb"))
         write_metadata(
             logs_dir, trainer_cfg.experiment_name,
             {"model": dataclasses.asdict(model_cfg) | {"dtype": str(model_cfg.dtype)},
@@ -390,6 +399,12 @@ class Trainer:
         if self.is_main:
             self.test_log.log(itr=h["itr"], **metrics)
             self.metric_log.log(h["itr"], **metrics)
+            if self.tb:
+                self.tb.add_scalars(
+                    {f"Metrics/{k}": v for k, v in metrics.items()
+                     if np.isscalar(v) or getattr(v, "ndim", 1) == 0},
+                    h["itr"],
+                )
         return metrics
 
     def save(self, suffix: str = ""):
@@ -502,6 +517,11 @@ class Trainer:
                         itr=self.history["itr"],
                         **{k: float(v) for k, v in metrics.items()},
                     )
+                    if self.tb:
+                        self.tb.add_scalars(
+                            {f"Loss/{k}": float(v) for k, v in metrics.items()},
+                            self.history["itr"],
+                        )
                 sv_int = self._sv_interval()
                 if (
                     sv_int > 0
