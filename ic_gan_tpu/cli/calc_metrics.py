@@ -26,72 +26,52 @@ import jax
 import jax.numpy as jnp
 
 from ic_gan_tpu.cli.config import parse_args, split_config
-from ic_gan_tpu.cli.inference import load_model_inference
-
-
-def _build_sample_fn(cfg, apply_fn, model_cfg, dataset):
-    """Conditioning-aware sampler returning (device images, labels)."""
-    dim_z = getattr(model_cfg, "effective_dim_z", None) or model_cfg.z_dim
-    z_var = cfg.get("z_var", 1.0)
-    counter = [0]
-
-    def sample(b):
-        counter[0] += 1
-        rng = jax.random.PRNGKey(cfg.get("seed", 0) + counter[0])
-        labels = feats = None
-        if dataset is not None and (
-            getattr(model_cfg, "class_cond", False)
-            or getattr(model_cfg, "instance_cond", False)
-        ):
-            if dataset.which_nn_balance == "instance_balance":
-                labels, feats = dataset.sample_conditioning_instance_balance(b)
-            else:
-                labels, feats = dataset.sample_conditioning_nnclass_balance(
-                    b, num_classes=model_cfg.n_classes
-                )
-        z = jax.random.normal(rng, (b, dim_z)) * np.sqrt(z_var)
-        imgs = apply_fn(
-            z,
-            jnp.asarray(labels)
-            if getattr(model_cfg, "class_cond", False)
-            else None,
-            jnp.asarray(feats)
-            if getattr(model_cfg, "instance_cond", False)
-            else None,
-            device_output=True,
-        )
-        return imgs, labels
-
-    return sample
+from ic_gan_tpu.cli.inference import (
+    conditioning_flags,
+    load_model_inference,
+    make_conditioned_sampler,
+)
 
 
 def main(argv=None):
     cfg = parse_args(argv)
     from ic_gan_tpu.eval.metrics import calc_metric, is_valid_metric
 
-    names = [m for m in str(cfg.get("metrics", "fid50k_full")).split(",") if m]
+    names = [
+        m.strip()
+        for m in str(cfg.get("metrics", "fid50k_full")).split(",")
+        if m.strip()
+    ]
     for m in names:
         assert is_valid_metric(m), f"unknown metric {m}"
 
     apply_fn, model_cfg = load_model_inference(cfg)
     num_images = cfg.get("num_inception_images", 50000)
     batch = cfg.get("eval_batch_size", 64)
+    class_cond, instance_cond = conditioning_flags(cfg, model_cfg)
 
     dataset = None
     _, _, _, data_kwargs = split_config(cfg)
     data_root = data_kwargs.get("data_path")
-    needs_data = any(m != "ppl2_wend" for m in names)
-    if needs_data:
+    # ppl2_wend alone needs no Inception/moments, but a conditional network
+    # still needs the dataset to draw its (c, h) endpoints.
+    needs_inception = any(m != "ppl2_wend" for m in names)
+    if needs_inception or class_cond or instance_cond:
         from ic_gan_tpu.data.datasets import get_dataset_hdf5
 
+        # The NETWORK decides what conditioning the dataset must serve: SG2
+        # configs carry h_dim/c_dim, not the BigGAN class_cond/instance_cond
+        # flags split_config defaults to False.
+        data_kwargs["class_cond"] |= class_cond
+        data_kwargs["instance_cond"] |= instance_cond
         dataset = get_dataset_hdf5(**data_kwargs)
 
     evaluator = None
-    if needs_data:
+    if needs_inception:
         from ic_gan_tpu.eval.pipeline import InceptionEvaluator
 
         evaluator = InceptionEvaluator(cfg.get("inception_weights"))
-    sample = _build_sample_fn(cfg, apply_fn, model_cfg, dataset)
+    sample = make_conditioned_sampler(cfg, apply_fn, model_cfg, dataset)
 
     def real_features():
         from ic_gan_tpu.eval.pipeline import cached_real_features
@@ -133,10 +113,29 @@ def main(argv=None):
             from ic_gan_tpu.eval.metrics import make_lpips_feature_fn
 
             g, variables = apply_fn.module, apply_fn.variables
-            map_fn = jax.jit(lambda z: g.apply(
-                variables, z, method=g.map_ws))
+            map_fn = jax.jit(lambda z, c=None, feats=None: g.apply(
+                variables, z, c, feats, method=g.map_ws))
             synth_fn = jax.jit(lambda ws: g.apply(
                 variables, ws, noise_mode="const", method=g.synthesize))
+            cond_sampler = None
+            if class_cond or instance_cond:
+                # Conditional endpoints come from the dataset like the
+                # reference's generator-stats sampling
+                # (``metric_utils.py:368-388``).
+                def cond_sampler(b):
+                    lab, feats = (
+                        dataset.sample_conditioning_instance_balance(b)
+                    )
+                    cond = {}
+                    if instance_cond:
+                        cond["feats"] = jnp.asarray(feats)
+                    if class_cond and lab is not None:
+                        c = jnp.asarray(lab)
+                        if c.ndim == 1:
+                            c = jax.nn.one_hot(c, model_cfg.c_dim)
+                        cond["c"] = c
+                    return cond
+
             feature_fn = None
             if os.environ.get("ICGAN_VGG16_WEIGHTS"):
                 feature_fn = make_lpips_feature_fn(
@@ -146,6 +145,7 @@ def main(argv=None):
                 z_dim=model_cfg.z_dim,
                 num_samples=cfg.get("ppl_num_samples", min(num_images, 2000)),
                 batch=batch, feature_fn=feature_fn,
+                cond_sampler=cond_sampler,
             )
         out = calc_metric(name, **kw)
         results.update(out)

@@ -213,6 +213,76 @@ def get_conditionings(
     return z, labels, feats
 
 
+def conditioning_flags(cfg: Dict[str, Any], model_cfg) -> Tuple[bool, bool]:
+    """(class_cond, instance_cond) for either backbone: BigGAN configs carry
+    the flags directly; StyleGAN2 conditioning is implied by c_dim/h_dim."""
+    if cfg.get("backbone", "biggan") == "stylegan2":
+        return (
+            getattr(model_cfg, "c_dim", 0) > 0,
+            getattr(model_cfg, "h_dim", 0) > 0,
+        )
+    return (
+        bool(getattr(model_cfg, "class_cond", False)),
+        bool(getattr(model_cfg, "instance_cond", False)),
+    )
+
+
+def make_conditioned_sampler(
+    cfg: Dict[str, Any], apply_fn, model_cfg, dataset, z_var: float = None
+):
+    """Dataset-conditioned generator sampler shared by the eval CLIs
+    (``cli/test.py``, ``cli/calc_metrics.py``) — the reference's
+    ``get_sampling_funct`` (``inference/utils.py:29-173``) for both
+    backbones.
+
+    Returns ``sample(b) -> (device_images, labels_or_None)``; draws
+    conditioning with the dataset's balance mode, fresh z per call.
+    StyleGAN2 class conditioning one-hots integer labels into the c vector.
+    """
+    backbone = cfg.get("backbone", "biggan")
+    class_cond, instance_cond = conditioning_flags(cfg, model_cfg)
+    dim_z = getattr(model_cfg, "effective_dim_z", None) or model_cfg.z_dim
+    if z_var is None:
+        z_var = cfg.get("z_var", 1.0)
+    counter = [0]
+
+    def sample(b):
+        counter[0] += 1
+        rng = jax.random.PRNGKey(cfg.get("seed", 0) + counter[0])
+        labels = feats = None
+        if dataset is not None and (class_cond or instance_cond):
+            if dataset.which_nn_balance == "instance_balance":
+                labels, feats = dataset.sample_conditioning_instance_balance(b)
+            else:
+                kw = {}
+                nc = getattr(model_cfg, "n_classes", 0)
+                if nc:
+                    kw["num_classes"] = nc
+                labels, feats = dataset.sample_conditioning_nnclass_balance(
+                    b, **kw
+                )
+        z = jax.random.normal(rng, (b, dim_z)) * np.sqrt(z_var)
+        lab_in = None
+        if class_cond and labels is not None:
+            lab_in = jnp.asarray(labels)
+            if backbone == "stylegan2" and lab_in.ndim == 1:
+                lab_in = jax.nn.one_hot(lab_in, model_cfg.c_dim)
+        f_in = (
+            jnp.asarray(feats)
+            if instance_cond and feats is not None else None
+        )
+        # device_output: images feed straight into the on-device Inception
+        # pass — fetching them to host costs ~100 MB/batch over the relay
+        # tunnel and dominated the eval loop.
+        imgs = apply_fn(z, lab_in, f_in, device_output=True)
+        return imgs, labels if class_cond else None
+
+    sample.class_cond = class_cond
+    sample.instance_cond = instance_cond
+    sample.dim_z = dim_z
+    return sample
+
+
 def load_stored_features(path: str):
     """Load a stored instance-feature file (the k-means selections of
     ``generate_images.py:25-45``): either a plain ``(N, h_dim)`` array or a

@@ -11,11 +11,13 @@ import os
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
 
 from ic_gan_tpu.cli.config import parse_args, split_config
-from ic_gan_tpu.cli.inference import load_model_inference
+from ic_gan_tpu.cli.inference import (
+    conditioning_flags,
+    load_model_inference,
+    make_conditioned_sampler,
+)
 
 
 def main(argv=None):
@@ -25,7 +27,13 @@ def main(argv=None):
     from ic_gan_tpu.data.datasets import get_dataset_hdf5
 
     _, _, _, data_kwargs = split_config(cfg)
+    # The network decides the conditioning the dataset must serve (SG2
+    # configs carry h_dim/c_dim, not BigGAN's class_cond/instance_cond).
+    class_cond, instance_cond = conditioning_flags(cfg, model_cfg)
+    data_kwargs["class_cond"] |= class_cond
+    data_kwargs["instance_cond"] |= instance_cond
     dataset = get_dataset_hdf5(**data_kwargs)
+    sample = make_conditioned_sampler(cfg, apply_fn, model_cfg, dataset)
 
     from PIL import Image
 
@@ -33,18 +41,10 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     num = cfg.get("num_imgs", 100)
     batch = cfg.get("batch_size", 32)
-    dim_z = model_cfg.effective_dim_z
     count = 0
     while count < num:
         b = min(batch, num - count)
-        rng = jax.random.PRNGKey(cfg.get("seed", 0) + count)
-        labels, feats = dataset.sample_conditioning_instance_balance(b)
-        z = jax.random.normal(rng, (b, dim_z)) * np.sqrt(cfg.get("z_var", 1.0))
-        imgs = apply_fn(
-            z,
-            jnp.asarray(labels) if model_cfg.class_cond else None,
-            jnp.asarray(feats) if model_cfg.instance_cond else None,
-        )
+        imgs, _ = sample(b)
         arr = ((np.asarray(imgs) + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
         for i in range(b):
             Image.fromarray(arr[i]).save(

@@ -14,11 +14,13 @@ import os
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
 
 from ic_gan_tpu.cli.config import parse_args, split_config
-from ic_gan_tpu.cli.inference import load_model_inference
+from ic_gan_tpu.cli.inference import (
+    conditioning_flags,
+    load_model_inference,
+    make_conditioned_sampler,
+)
 
 
 def main(argv=None):
@@ -33,6 +35,11 @@ def main(argv=None):
     )
 
     _, _, _, data_kwargs = split_config(cfg)
+    # The network decides the conditioning the dataset must serve (SG2
+    # configs carry h_dim/c_dim, not BigGAN's class_cond/instance_cond).
+    class_cond, instance_cond = conditioning_flags(cfg, model_cfg)
+    data_kwargs["class_cond"] |= class_cond
+    data_kwargs["instance_cond"] |= instance_cond
     dataset = get_dataset_hdf5(**data_kwargs)
 
     data_root = data_kwargs["data_path"]
@@ -48,48 +55,27 @@ def main(argv=None):
     )
     evaluator = InceptionEvaluator(cfg.get("inception_weights"))
 
-    dim_z = model_cfg.effective_dim_z
-    z_var = cfg.get("z_var", 1.0)
-
-    if cfg.get("accumulate_stats", False):
-        # G_eval_mode standing statistics before sampling (ref
-        # train_fns.py:159-163 / utils.py:1679-1695).
+    if cfg.get("accumulate_stats", False) and cfg.get(
+        "backbone", "biggan"
+    ) == "biggan":
+        # G_eval_mode standing BN statistics before sampling (ref
+        # train_fns.py:159-163 / utils.py:1679-1695; BigGAN-only — SG2 has
+        # no batch norm).
         def _standing_cond(n):
             labels, feats = dataset.sample_conditioning_instance_balance(n)
             return (
-                labels if model_cfg.class_cond else None,
-                feats if model_cfg.instance_cond else None,
+                labels if class_cond else None,
+                feats if instance_cond else None,
             )
 
         apply_fn = apply_fn.with_standing_stats(_standing_cond)
 
-    counter = [0]
-
     def make_sample(var):
-        def sample(b):
-            counter[0] += 1
-            rng = jax.random.PRNGKey(cfg.get("seed", 0) + counter[0])
-            if dataset.which_nn_balance == "instance_balance":
-                labels, feats = dataset.sample_conditioning_instance_balance(b)
-            else:
-                labels, feats = dataset.sample_conditioning_nnclass_balance(
-                    b, num_classes=model_cfg.n_classes
-                )
-            z = jax.random.normal(rng, (b, dim_z)) * np.sqrt(var)
-            # device_output: the images feed straight into the on-device
-            # Inception pass — fetching them to host costs ~100 MB/batch over
-            # the relay tunnel and dominated the eval loop.
-            imgs = apply_fn(
-                z,
-                jnp.asarray(labels) if model_cfg.class_cond else None,
-                jnp.asarray(feats) if model_cfg.instance_cond else None,
-                device_output=True,
-            )
-            return imgs, labels if model_cfg.class_cond else None
+        return make_conditioned_sampler(
+            cfg, apply_fn, model_cfg, dataset, z_var=var
+        )
 
-        return sample
-
-    sample = make_sample(z_var)
+    sample = make_sample(cfg.get("z_var", 1.0))
 
     stratified = None
     samples_per_class = None
@@ -145,6 +131,7 @@ def main(argv=None):
         start, step, end = (
             float(v) for v in str(cfg["sample_trunc_curves"]).split("_")
         )
+        assert step > 0, f"sample_trunc_curves step must be > 0, got {step}"
         curve = []
         var = start
         while var <= end + 1e-9:

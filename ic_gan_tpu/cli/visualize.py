@@ -177,10 +177,9 @@ def main(argv=None):
     ``stylegan2_ada_pytorch/style_mixing.py``)."""
     import os
 
-    import jax.numpy as jnp
-
     from ic_gan_tpu.cli.config import parse_args
     from ic_gan_tpu.cli.inference import (
+        conditioning_flags,
         load_model_inference,
         load_stored_features,
     )
@@ -206,7 +205,7 @@ def main(argv=None):
     if cfg.get("stored_features"):
         features, labels = load_stored_features(cfg["stored_features"])
 
-    class_cond = bool(getattr(model_cfg, "class_cond", False))
+    class_cond, instance_cond = conditioning_flags(cfg, model_cfg)
     written = []
 
     def _conditionings(n):
@@ -220,9 +219,17 @@ def main(argv=None):
                     if labels is not None and class_cond else None
                 )
                 conds.append((lab, features[i]))
-        else:
+        elif instance_cond:
+            raise ValueError(
+                "this model is instance-conditioned: pass "
+                "stored_features=<kmeans .npy> (cli/prepare_data.py "
+                "kmeans_subsampled writes one)"
+            )
+        elif class_cond:
             for c in range(min(n, getattr(model_cfg, "n_classes", n))):
                 conds.append((c, None))
+        else:
+            conds = [(None, None)] * n  # unconditional: fresh-z rows
         return conds
 
     for m in modes:
@@ -253,17 +260,20 @@ def main(argv=None):
                 )
                 written.append(path)
         elif m == "random":
-            import jax as _jax
-
             n = cfg.get("num_samples", 64)
-            rng = _jax.random.PRNGKey(seed)
-            z = _jax.random.normal(rng, (n, dim_z)) * np.sqrt(z_var)
+            rng = jax.random.PRNGKey(seed)
+            z = jax.random.normal(rng, (n, dim_z)) * np.sqrt(z_var)
             lab = f = None
             if features is not None:
                 idx = np.random.RandomState(seed).randint(0, len(features), n)
                 f = jnp.asarray(features[idx])
                 if labels is not None and class_cond:
                     lab = jnp.asarray(labels[idx])
+            elif instance_cond:
+                raise ValueError(
+                    "this model is instance-conditioned: pass "
+                    "stored_features=<kmeans .npy>"
+                )
             elif class_cond:
                 lab = jnp.asarray(
                     np.random.RandomState(seed).randint(

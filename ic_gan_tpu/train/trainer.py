@@ -513,13 +513,11 @@ class Trainer:
                     )
                     jax.profiler.stop_trace()
                 if self.history["itr"] % 100 == 0 and self.is_main:
-                    self.train_log.log(
-                        itr=self.history["itr"],
-                        **{k: float(v) for k, v in metrics.items()},
-                    )
+                    vals = {k: float(v) for k, v in metrics.items()}
+                    self.train_log.log(itr=self.history["itr"], **vals)
                     if self.tb:
                         self.tb.add_scalars(
-                            {f"Loss/{k}": float(v) for k, v in metrics.items()},
+                            {f"Loss/{k}": v for k, v in vals.items()},
                             self.history["itr"],
                         )
                 sv_int = self._sv_interval()

@@ -86,11 +86,16 @@ class SummaryWriter:
     """Minimal ``add_scalar``-only SummaryWriter writing standard
     ``events.out.tfevents.<time>.<host>`` files into ``logdir``."""
 
+    _seq = 0  # distinguishes writers created within the same second
+
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
         host = socket.gethostname() or "localhost"
+        SummaryWriter._seq += 1
         self.path = os.path.join(
-            logdir, f"events.out.tfevents.{int(time.time())}.{host}"
+            logdir,
+            f"events.out.tfevents.{int(time.time())}.{host}"
+            f".{os.getpid()}.{SummaryWriter._seq}",
         )
         self._f = open(self.path, "ab")
         self._f.write(_record(_event(time.time(), file_version="brain.Event:2")))

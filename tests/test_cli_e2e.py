@@ -61,13 +61,10 @@ def base_cfg(workdir):
 def run_cli(mod, cfg, **extra):
     cfg = dict(cfg, **extra)
     argv = ["--set"] + [f"{k}={json.dumps(v)}" for k, v in cfg.items()]
-    mod.main(argv)
-
-
-def run_cli_ret(mod, cfg, **extra):
-    cfg = dict(cfg, **extra)
-    argv = ["--set"] + [f"{k}={json.dumps(v)}" for k, v in cfg.items()]
     return mod.main(argv)
+
+
+run_cli_ret = run_cli
 
 
 def test_01_prepare_data(workdir):

@@ -68,6 +68,64 @@ def test_visualize_random_cli_stylegan2(network_pkl, tmp_path):
     assert img.shape == (RES, 8 * RES, 3)
 
 
+def test_calc_metrics_conditional_stylegan2(tmp_path):
+    """Regression: icgan-calc-metrics on a conditional (h_dim>0) StyleGAN2
+    network must draw dataset conditioning — the BigGAN-only class_cond/
+    instance_cond gating used to pass feats=None into the mapping network.
+    Covers is50k (the shared sampler) and ppl2_wend (cond_sampler wiring)."""
+    import pickle
+    import sys
+
+    import h5py
+
+    sys.path.insert(0, "/root/reference/stylegan2_ada_pytorch")
+    from training import networks
+
+    H_DIM = 12
+    G = networks.Generator(
+        z_dim=ZDIM, c_dim=0, w_dim=WDIM, h_dim=H_DIM, img_resolution=RES,
+        img_channels=3,
+        mapping_kwargs=dict(num_layers=2),
+        synthesis_kwargs=dict(channel_base=512, channel_max=64,
+                              num_fp16_res=0, conv_clamp=None),
+    )
+    pkl = tmp_path / "cond-net.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"G_ema": G}, f)
+
+    # Tiny dataset with the reference filename conventions (feats dim = h_dim).
+    from ic_gan_tpu.data.datasets import hdf5_filenames
+
+    rng = np.random.RandomState(0)
+    N, K = 8, 3
+    names = hdf5_filenames(RES, "imagenet", k_nn=K,
+                           feature_extractor="selfsupervised")
+    with h5py.File(tmp_path / names["xy"], "w") as f:
+        f.create_dataset(
+            "imgs", data=rng.randint(0, 255, (N, 3, RES, RES), dtype=np.uint8)
+        )
+        f.create_dataset("labels", data=rng.randint(0, 3, (N,)).astype(np.int64))
+    with h5py.File(tmp_path / names["feats"], "w") as f:
+        f.create_dataset("feats", data=rng.randn(N, H_DIM).astype(np.float32))
+    nns = np.stack([np.arange(N)] * (K + 1), axis=1).astype(np.int64)
+    with h5py.File(tmp_path / names["nns"], "w") as f:
+        f.create_dataset("sample_nns", data=nns)
+        f.create_dataset("sample_nns_radius", data=np.ones(N, np.float32))
+
+    from ic_gan_tpu.cli import calc_metrics
+
+    out = calc_metrics.main(_argv({
+        "backbone": "stylegan2", "network_pkl": str(pkl),
+        "metrics": "is50k, ppl2_wend",  # comma-space: names get stripped
+        "resolution": RES, "data_root": str(tmp_path), "k_nn": K,
+        "feature_extractor": "selfsupervised",
+        "num_inception_images": 8, "ppl_num_samples": 4,
+        "eval_batch_size": 4, "batch_size": 4,
+    }))
+    assert np.isfinite(out["is50k_mean"])
+    assert np.isfinite(out["ppl2_wend"])
+
+
 def test_projector_cli(network_pkl, tmp_path):
     from ic_gan_tpu.cli import projector
 
