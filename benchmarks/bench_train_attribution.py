@@ -106,6 +106,89 @@ def patch_bn_eval():
     return lambda: setattr(layers_mod.CrossReplicaBatchNorm, "__call__", orig)
 
 
+def bench_phases(mb, resolution=128, ch=96, out=None):
+    """Raw per-phase ceilings (the SG2-attribution methodology): G forward,
+    D fwd+bwd on hinge, G fwd+bwd through D — each timed and rooflined
+    standalone so the step-level MFU gap can be pinned to a phase."""
+    from ic_gan_tpu.models.biggan import BigGANConfig, Generator, Discriminator
+    from ic_gan_tpu.train import losses as losses_lib
+
+    out = {} if out is None else out
+    cfg = BigGANConfig(
+        resolution=resolution, G_ch=ch, D_ch=ch, G_attn="64", D_attn="64",
+        dtype=jnp.bfloat16,
+    )
+    g, d = Generator(cfg), Discriminator(cfg)
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.randn(mb, cfg.effective_dim_z), jnp.float32)
+    feats = jnp.asarray(rng.randn(mb, cfg.instance_sz), jnp.float32)
+    x = jnp.asarray(rng.randn(mb, resolution, resolution, 3), jnp.float32)
+    g_vars = _fast_variables(g, z, None, feats, train=True)
+    d_vars = _fast_variables(d, x, None, feats, train=True)
+    mut = ["sn", "batch_stats"]
+
+    def g_fwd(gv, z, feats):
+        fake, _ = g.apply(gv, z, None, feats, train=True, mutable=mut)
+        return jnp.sum(fake[:, ::64, ::64, :])
+
+    def d_fwdbwd(dp, gv_rest, x, fake, feats):
+        def loss(p):
+            dv = {"params": p, **gv_rest}
+            real_out, _ = d.apply(dv, x, None, feats, train=True, mutable=mut)
+            fake_out, _ = d.apply(dv, fake, None, feats, train=True, mutable=mut)
+            lr, lf = losses_lib.D_LOSSES["hinge"](fake_out, real_out)
+            return lr + lf
+        grads = jax.grad(loss)(dp)
+        return sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(grads)[:2])
+
+    def g_fwdbwd(gp, g_rest, d_all, z, feats):
+        def loss(p):
+            fake, _ = g.apply({"params": p, **g_rest}, z, None, feats,
+                              train=True, mutable=mut)
+            fake_out, _ = d.apply(d_all, fake, None, feats, train=True,
+                                  mutable=mut)
+            return losses_lib.G_LOSSES["hinge"](fake_out)
+        grads = jax.grad(loss)(gp)
+        return sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(grads)[:2])
+
+    d_rest = {k: v for k, v in d_vars.items() if k != "params"}
+    g_rest = {k: v for k, v in g_vars.items() if k != "params"}
+    fake = jnp.asarray(rng.randn(mb, resolution, resolution, 3), jnp.bfloat16)
+
+    import functools
+
+    def _t(fn, *args, label=""):
+        jitted = jax.jit(fn)
+        flops = None
+        try:
+            flops = jitted.lower(*args).compile().cost_analysis()["flops"]
+        except Exception:
+            pass
+        o = jitted(*args)
+        float(jnp.asarray(o, jnp.float32))
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(6):
+                o = jitted(*args)
+            float(jnp.asarray(o, jnp.float32))
+            best = min(best, (time.perf_counter() - t0) / 6)
+        tfl = (flops or 0) / best / 1e12
+        out[f"{label}_ms"] = best * 1e3
+        if flops:
+            out[f"{label}_tflops"] = tfl
+        print(f"{label:>10}: {best*1e3:7.2f} ms"
+              + (f"  {tfl:6.1f} TFLOP/s ({tfl/197*100:.0f}% v5e)" if flops else ""))
+        return best
+
+    _t(g_fwd, g_vars, z, feats, label="g_fwd")
+    _t(functools.partial(d_fwdbwd), d_vars["params"], d_rest, x, fake, feats,
+       label="d_fwdbwd")
+    _t(functools.partial(g_fwdbwd), g_vars["params"], g_rest, d_vars, z, feats,
+       label="g_fwdbwd")
+    return out
+
+
 def main(mb=128):
     print("backend:", jax.default_backend(), jax.devices()[0].device_kind)
     results = {}
@@ -127,9 +210,10 @@ def main(mb=128):
         print(f"{name:>14}: {t*1e3:7.1f} ms/step  {mb/t:7.1f} img/s"
               + (f"  {tfl:.1f} TFLOP/s ({tfl/197*100:.0f}% v5e peak)"
                  if flops else ""))
+    phases = bench_phases(mb)
     from _results import record
 
-    record("train_attribution", microbatch=mb,
+    record("train_attribution", microbatch=mb, **phases,
            **{f"{k}_ms": v * 1e3 for k, v in results.items()})
     f = results["full"]
     print(f"SN cost: {(f-results['no_sn'])*1e3:.1f} ms "
