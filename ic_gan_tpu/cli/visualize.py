@@ -71,6 +71,7 @@ def interp_sheet(
     fix_z: bool = False,
     fix_feats: bool = False,
     feats_bank: Optional[np.ndarray] = None,
+    labels_bank: Optional[np.ndarray] = None,
     z_var: float = 1.0,
     seed: int = 0,
     path: Optional[str] = None,
@@ -78,7 +79,10 @@ def interp_sheet(
     """Interpolation sheet (ref ``interp_sheet``, ``utils.py:1466-1562``):
     each row interpolates z and/or the instance feature between two endpoints;
     ``fix_z`` holds z constant across the row, ``fix_feats`` holds the
-    conditioning constant."""
+    conditioning constant.  ``labels_bank``: class-conditional models draw
+    one label per row, held constant across the row (the reference
+    interpolates the class *embedding*; integer labels can't lerp, so rows
+    are per-class here — a documented simplification)."""
     rng = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(rng, 3)
     n = num_rows
@@ -106,7 +110,14 @@ def interp_sheet(
 
     zs_flat = zs.reshape(n * steps, dim_z)
     f_flat = None if feats is None else feats.reshape(n * steps, -1)
-    imgs = np.asarray(apply_fn(zs_flat, None, f_flat))
+    lab_flat = None
+    if labels_bank is not None:
+        bank = np.asarray(labels_bank).reshape(-1)
+        row_labels = bank[
+            np.random.RandomState(seed).randint(0, len(bank), n)
+        ]
+        lab_flat = jnp.asarray(np.repeat(row_labels, steps))
+    imgs = np.asarray(apply_fn(zs_flat, lab_flat, f_flat))
     if path:
         save_image_grid(imgs, path, nrow=steps)
     return imgs
@@ -249,6 +260,17 @@ def main(argv=None):
             if features is not None:
                 variants += [("interp_z", False, True),
                              ("interp_feats", True, False)]
+            labels_bank = None
+            if class_cond:
+                labels_bank = (
+                    labels if labels is not None
+                    else np.arange(getattr(model_cfg, "n_classes", 1))
+                )
+            if features is None and instance_cond:
+                raise ValueError(
+                    "this model is instance-conditioned: pass "
+                    "stored_features=<kmeans .npy>"
+                )
             for name, fix_z, fix_feats in variants:
                 path = os.path.join(out_dir, f"{name}.png")
                 interp_sheet(
@@ -256,7 +278,8 @@ def main(argv=None):
                     num_midpoints=cfg.get("num_midpoints", 8),
                     num_rows=cfg.get("num_rows", 4),
                     fix_z=fix_z, fix_feats=fix_feats,
-                    feats_bank=features, z_var=z_var, seed=seed, path=path,
+                    feats_bank=features, labels_bank=labels_bank,
+                    z_var=z_var, seed=seed, path=path,
                 )
                 written.append(path)
         elif m == "random":

@@ -170,3 +170,17 @@ def test_sample_and_interp_sheets():
                            fix_z=True, feats_bank=np.eye(4, dtype=np.float32))
     row = imgs_fz.reshape(4, -1)
     assert np.allclose(row, row[0])
+
+    # Class-conditional: one label per row, constant across the row.
+    seen = []
+
+    def labeled_apply(z, label, feats):
+        assert label is not None and label.shape == (z.shape[0],)
+        seen.append(np.asarray(label))
+        return fake_apply(z, label, feats)
+
+    imgs_lab = interp_sheet(labeled_apply, dim_z=6, num_midpoints=2,
+                            num_rows=2, labels_bank=np.arange(5))
+    assert imgs_lab.shape == (2 * 4, 8, 8, 3)
+    per_row = seen[0].reshape(2, 4)
+    assert (per_row == per_row[:, :1]).all()
