@@ -59,6 +59,20 @@ _CHIP_PEAK = {
 }
 
 
+def _wait_for_backend(attempts: int = 4, delay_s: int = 60):
+    """The relay TPU tunnel has transient outages; retry backend init a few
+    times before giving up so a blip doesn't forfeit the bench artifact."""
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(f"# backend unavailable ({e}); retry {i + 1}/{attempts - 1} "
+                  f"in {delay_s}s", flush=True)
+            time.sleep(delay_s)
+
+
 def main():
     # Persistent compile cache: the relay-based TPU compile of the res256
     # graph can take minutes cold; cached runs start in seconds.
@@ -74,6 +88,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception:
         pass
+    _wait_for_backend()
 
     from ic_gan_tpu.models.biggan import BigGANConfig, Generator
     from __graft_entry__ import _fast_variables
