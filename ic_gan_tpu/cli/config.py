@@ -41,11 +41,13 @@ CONSUMED_KEYS = {
     "shared_dim", "hier", "class_cond", "instance_cond", "G_shared_feat",
     "shared_dim_feat", "SN_eps", "BN_eps", "num_G_SVs", "num_D_SVs",
     "num_G_SV_itrs", "num_D_SV_itrs", "D_thin", "D_wide", "bf16",
+    "norm_style",
     # optimization
     "num_D_steps", "num_D_accumulations", "num_G_accumulations",
     "G_lr", "D_lr", "G_B1", "G_B2", "D_B1", "D_B2", "adam_eps",
     "which_train_fn", "ema", "ema_decay", "ema_start", "G_ortho", "D_ortho",
-    "DA", "DiffAugment", "z_var", "batch_size", "G_batch_size",
+    "DA", "DiffAugment", "z_var", "batch_size", "G_batch_size", "split_D",
+    "G_init", "D_init", "skip_init",
     # trainer / bookkeeping
     "experiment_name", "weights_root", "logs_root", "samples_root",
     "base_root", "num_epochs", "test_every", "save_every",
@@ -56,7 +58,7 @@ CONSUMED_KEYS = {
     "log_G_spectra", "log_D_spectra",
     "load_weights", "resume",
     # data / conditioning
-    "data_root", "which_dataset", "longtail", "hflips",
+    "data_root", "which_dataset", "longtail", "hflips", "augment",
     "feature_augmentation", "feature_extractor",
     "backbone_feature_extractor", "which_knn_balance", "kmeans_subsampled",
     "n_subsampled_data", "k_nn", "load_in_mem_feats", "filter_hd",
@@ -126,17 +128,15 @@ SUPERSEDED_KEYS = {
 # Supported only at the reference default — anything else warns (value):
 DEFAULT_ONLY_KEYS = {
     "G_param": "SN", "D_param": "SN",           # only spectral norm
-    "norm_style": "bn",                          # only batch norm
-    "G_nl": ["relu", "inplace_relu"],            # relu family only
-    "D_nl": ["relu", "inplace_relu"],
-    "G_init": ["ortho", "N02"],                  # ortho is the trained init
-    "D_init": ["ortho", "N02"],
+    # relu family only — the full extent of the reference's activation_dict
+    # (utils.py:943-947: inplace_relu/relu/ir are all nn.ReLU).
+    "G_nl": ["relu", "inplace_relu", "ir"],
+    "D_nl": ["relu", "inplace_relu", "ir"],
     "G_fp16": False, "D_fp16": False,            # native bf16 instead
     "G_mixed_precision": False, "D_mixed_precision": False,
-    "toggle_grads": True, "split_D": False,
-    "skip_init": False, "hashname": False, "config_from_name": False,
+    "toggle_grads": True,
+    "hashname": False, "config_from_name": False,
     "name_suffix": "", "logstyle": "%3.3e",
-    "augment": False,
 }
 
 
@@ -209,6 +209,7 @@ def split_config(cfg: Dict[str, Any], backbone: str = "biggan") -> Tuple[BigGANC
         SN_eps=sn_eps,
         BN_eps=bn_eps,
         D_wide=g("D_wide", g("D_thin", True)),
+        norm_style=g("norm_style", "bn"),
         dtype=jnp.bfloat16 if g("bf16", False) else jnp.float32,
     )
 
@@ -257,6 +258,7 @@ def _split_train_and_data(cfg: Dict[str, Any]):
         z_var=g("z_var", 1.0),
         class_cond=g("class_cond", False),
         instance_cond=g("instance_cond", False),
+        split_D=g("split_D", False),
     )
     # Root pegging (ref utils.py:1018-1025): base_root redirects
     # weights/logs/samples.
@@ -288,6 +290,9 @@ def _split_train_and_data(cfg: Dict[str, Any]):
         log_G_spectra=g("log_G_spectra", False),
         log_D_spectra=g("log_D_spectra", False),
         enable_tb=not g("no_tb", False),
+        G_init=g("G_init", "ortho"),
+        D_init=g("D_init", "ortho"),
+        skip_init=g("skip_init", False),
     )
     data_kwargs = dict(
         resolution=g("resolution", 64),
@@ -305,7 +310,9 @@ def _split_train_and_data(cfg: Dict[str, Any]):
         n_subsampled_data=g("n_subsampled_data", -1),
         feature_augmentation=g("feature_augmentation", False),
         k_nn=g("k_nn", 50),
-        hflip=g("hflips", False),
+        # "augment" (ref utils.py:58: random flips on the hdf5 path,
+        # data_utils/utils.py:613-617) is an alias of "hflips" here.
+        hflip=g("hflips", False) or g("augment", False),
         load_in_mem_feats=g("load_in_mem_feats", True),
     )
     if g("filter_hd", -1) != -1:

@@ -122,6 +122,10 @@ class BigGANConfig:
     num_SV_itrs: int = 1
     SN_eps: float = SN_EPS
     BN_eps: float = BN_EPS
+    # G block normalizer: "bn" | "in" | "gn"/"gn_ch_N"/"gn_grp_N" | "nonorm"
+    # (ref ccbn, layers.py:410-436; the output-layer bn ignores it, matching
+    # the reference's plain ``bn`` class).
+    norm_style: str = "bn"
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
 
@@ -244,6 +248,7 @@ class Generator(nn.Module):
                 num_itrs=cfg.num_SV_itrs,
                 axis_name=cfg.axis_name,
                 dtype=dtype,
+                norm_style=cfg.norm_style,
                 name=f"block_{i}",
             )(h, ys[i], train=train, standing=standing)
             if arch["attention"][i]:

@@ -96,6 +96,7 @@ class DeepGBlock(nn.Module):
     num_itrs: int = 1
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    norm_style: str = "bn"
 
     @nn.compact
     def __call__(self, x, y, train: bool, standing: bool = False):
@@ -103,7 +104,7 @@ class DeepGBlock(nn.Module):
         cbn = lambda f, name: ConditionalBatchNorm(
             f, eps=self.bn_eps, sn_eps=self.sn_eps, num_svs=self.num_svs,
             num_itrs=self.num_itrs, axis_name=self.axis_name,
-            dtype=self.dtype, name=name,
+            dtype=self.dtype, norm_style=self.norm_style, name=name,
         )
         conv = lambda f, k, name: SNConv(
             f, kernel_size=(k, k), eps=self.sn_eps, num_svs=self.num_svs,
@@ -236,6 +237,7 @@ class Generator(nn.Module):
                     num_itrs=cfg.num_SV_itrs,
                     axis_name=cfg.axis_name,
                     dtype=dtype,
+                    norm_style=cfg.norm_style,
                     name=f"block_{index}_{g_index}",
                 )(h, y, train=train, standing=standing)
             if arch["attention"][index]:

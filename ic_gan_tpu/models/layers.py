@@ -50,6 +50,44 @@ def orthogonal_init(scale: float = 1.0):
     return nn.initializers.orthogonal(scale, column_axis=-1)
 
 
+# Reference init styles (``BigGAN.py:335-342``; argparse choices
+# ``utils.py:302-315``).  "ortho" is the construction-time default here.
+WEIGHT_INITS = {
+    "ortho": orthogonal_init(),
+    "N02": nn.initializers.normal(0.02),
+    "glorot": nn.initializers.xavier_uniform(),
+    "xavier": nn.initializers.xavier_uniform(),
+}
+
+
+def apply_weight_init(params, rng: jax.Array, style: str):
+    """Post-construction weight re-draw — the reference's ``init_weights``
+    overwrites every Conv2d/Linear/Embedding weight *after* building the
+    module tree (``BigGAN.py:294,326-345``; biases and BN gain/bias keep
+    their defaults).  Same contract here: re-draw every ``kernel`` /
+    ``embedding`` / ``shared`` leaf of the ``params`` collection, leave
+    everything else.  ``style="ortho"`` is a no-op (it is already the
+    construction default); ``skip_init`` (ref ``utils.py:382-388``) maps to
+    not calling this at all.  Wrap in ``jax.jit`` on the relay backend."""
+    if style == "ortho":
+        return params
+    init = WEIGHT_INITS[style]
+
+    def redraw(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name not in ("kernel", "embedding", "shared"):
+            return leaf
+        # Stable per-leaf stream (python hash() is seed-randomized).
+        import zlib
+
+        leaf_rng = jax.random.fold_in(
+            rng, zlib.crc32("/".join(str(p) for p in path).encode())
+        )
+        return init(leaf_rng, leaf.shape, leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(redraw, params)
+
+
 class SNDense(nn.Module):
     """Linear layer with spectral normalization (ref ``layers.py:157-165``)."""
 
@@ -288,11 +326,81 @@ class CrossReplicaBatchNorm(nn.Module):
         return (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
 
 
+def group_norm(x, norm_style: str, eps: float = BN_EPS):
+    """Affine-free group norm with the reference's group selection
+    (``groupnorm``, ``layers.py:340-351``): ``gn_ch_N`` → ``C//N`` groups,
+    ``gn_grp_N`` → ``N`` groups, plain ``gn`` → 16 groups."""
+    C = x.shape[-1]
+    if "ch" in norm_style:
+        groups = max(C // int(norm_style.split("_")[-1]), 1)
+    elif "grp" in norm_style:
+        groups = int(norm_style.split("_")[-1])
+    else:
+        groups = 16
+    groups = min(groups, C)
+    while C % groups:
+        groups -= 1
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    g = xf.reshape(x.shape[:-1] + (groups, C // groups))
+    m = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
+    v = jnp.mean(jnp.square(g - m), axis=(1, 2, 4), keepdims=True)
+    out = (g - m) * jax.lax.rsqrt(v + eps)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+class InstanceNorm(nn.Module):
+    """Instance norm with BN-style running stats — torch ``F.instance_norm``
+    with ``running_mean/var`` as the reference's ccbn ``norm_style="in"``
+    branch uses it (``layers.py:421-431``): train normalizes each sample
+    with its own (H, W) moments and updates the per-channel running stats
+    with the batch-averaged instance moments; eval normalizes with the
+    running stats."""
+
+    features: int
+    eps: float = BN_EPS
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        stored_mean = self.variable(
+            "batch_stats", "mean", lambda _, s: jnp.zeros(s), None, (self.features,)
+        )
+        stored_var = self.variable(
+            "batch_stats", "var", lambda _, s: jnp.ones(s), None, (self.features,)
+        )
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+        if train:
+            m = jnp.mean(xf, axis=(1, 2), keepdims=True)          # (N,1,1,C)
+            v = jnp.mean(jnp.square(xf - m), axis=(1, 2), keepdims=True)
+            if not self.is_initializing():
+                n = x.shape[1] * x.shape[2]
+                unbiased = jnp.mean(v[:, 0, 0, :], axis=0) * (n / max(n - 1, 1))
+                stored_mean.value = (
+                    (1 - self.momentum) * stored_mean.value
+                    + self.momentum * jnp.mean(m[:, 0, 0, :], axis=0)
+                )
+                stored_var.value = (
+                    (1 - self.momentum) * stored_var.value + self.momentum * unbiased
+                )
+            out = (xf - m) * jax.lax.rsqrt(v + self.eps)
+        else:
+            out = (xf - stored_mean.value) * jax.lax.rsqrt(
+                stored_var.value + self.eps
+            )
+        return out.astype(x.dtype)
+
+
 class ConditionalBatchNorm(nn.Module):
     """Class/instance-conditional BN: per-sample gain ``1 + Linear(y)`` and
-    bias ``Linear(y)`` applied after parameter-free BN (ref ``ccbn``,
-    ``layers.py:359-437``).  The gain/bias projections are spectrally
-    normalized, bias-free linears (``BigGAN.py:205-209``)."""
+    bias ``Linear(y)`` applied after parameter-free normalization (ref
+    ``ccbn``, ``layers.py:359-437``).  The gain/bias projections are
+    spectrally normalized, bias-free linears (``BigGAN.py:205-209``).
+
+    ``norm_style`` selects the normalizer (ref ``layers.py:410-436``):
+    ``bn`` (cross-replica batch norm), ``in`` (instance norm with running
+    stats), ``gn``/``gn_ch_N``/``gn_grp_N`` (group norm — the reference's
+    own ``gn`` branch crashes on a ``self.normstyle`` typo at
+    ``layers.py:433``; this is the de-typoed behavior), ``nonorm``."""
 
     features: int
     eps: float = BN_EPS
@@ -302,6 +410,7 @@ class ConditionalBatchNorm(nn.Module):
     num_itrs: int = 1
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
+    norm_style: str = "bn"
 
     @nn.compact
     def __call__(self, x, y, train: bool, standing: bool = False):
@@ -315,13 +424,22 @@ class ConditionalBatchNorm(nn.Module):
             num_svs=self.num_svs, num_itrs=self.num_itrs, dtype=self.dtype,
             name="bias",
         )(y, update_sn=train)
-        out = CrossReplicaBatchNorm(
-            self.features,
-            eps=self.eps,
-            momentum=self.momentum,
-            axis_name=self.axis_name,
-            name="bn",
-        )(x, train=train, standing=standing)
+        if self.norm_style == "bn":
+            out = CrossReplicaBatchNorm(
+                self.features,
+                eps=self.eps,
+                momentum=self.momentum,
+                axis_name=self.axis_name,
+                name="bn",
+            )(x, train=train, standing=standing)
+        elif self.norm_style == "in":
+            out = InstanceNorm(
+                self.features, eps=self.eps, momentum=self.momentum, name="bn"
+            )(x, train=train or standing)
+        elif self.norm_style == "nonorm":
+            out = x
+        else:
+            out = group_norm(x, self.norm_style, eps=self.eps)
         return out * gain[:, None, None, :] + bias[:, None, None, :]
 
 
@@ -429,13 +547,14 @@ class GBlock(nn.Module):
     num_itrs: int = 1
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
+    norm_style: str = "bn"
 
     @nn.compact
     def __call__(self, x, y, train: bool, standing: bool = False):
         cbn = lambda f, name: ConditionalBatchNorm(
             f, eps=self.bn_eps, sn_eps=self.sn_eps, num_svs=self.num_svs,
             num_itrs=self.num_itrs, axis_name=self.axis_name,
-            dtype=self.dtype, name=name,
+            dtype=self.dtype, norm_style=self.norm_style, name=name,
         )
         conv = lambda f, k, name: SNConv(
             f, kernel_size=(k, k), eps=self.sn_eps, num_svs=self.num_svs,

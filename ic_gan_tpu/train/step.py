@@ -63,6 +63,9 @@ class TrainConfig:
     z_var: float = 1.0
     class_cond: bool = False
     instance_cond: bool = True
+    # Run D separately on fake and real instead of one concatenated batch
+    # (ref BigGAN.py:679-687 via train_fns.py:95).
+    split_D: bool = False
 
     def g_optimizer(self):
         return make_optimizer(self.G_lr, self.G_B1, self.G_B2, self.adam_eps)
@@ -135,16 +138,31 @@ def make_train_step(
             mutable=["batch_stats", "sn"],
         )
         fake = jax.lax.stop_gradient(fake)
-        d_in = jnp.concatenate([fake, x_real], axis=0)
-        d_lab = None if dl is None else jnp.concatenate([gl, dl], axis=0)
-        d_fts = None if df is None else jnp.concatenate([gf, df], axis=0)
-        if cfg.DiffAugment:
-            d_in = diff_augment(aug_rng, d_in, cfg.DiffAugment)
-        out, d_mut = d_apply(
-            {"params": d_params, **d_state}, d_in, d_lab, d_fts, train=True,
-            mutable=["sn"],
-        )
-        d_fake, d_real = jnp.split(out, [z.shape[0]], axis=0)
+        if cfg.split_D:
+            # split_D: two D forwards (fake then real) instead of one concat
+            # batch (ref BigGAN.py:679-687).  The real pass sees the SN
+            # power-iteration state advanced by the fake pass — same
+            # per-forward update order as the reference.  DiffAugment exists
+            # only on the concat path upstream (BigGAN.py:698-704).
+            d_fake, d_mut = d_apply(
+                {"params": d_params, **d_state}, fake, gl, gf, train=True,
+                mutable=["sn"],
+            )
+            d_real, d_mut = d_apply(
+                {"params": d_params, **d_state, **d_mut}, x_real, dl, df,
+                train=True, mutable=["sn"],
+            )
+        else:
+            d_in = jnp.concatenate([fake, x_real], axis=0)
+            d_lab = None if dl is None else jnp.concatenate([gl, dl], axis=0)
+            d_fts = None if df is None else jnp.concatenate([gf, df], axis=0)
+            if cfg.DiffAugment:
+                d_in = diff_augment(aug_rng, d_in, cfg.DiffAugment)
+            out, d_mut = d_apply(
+                {"params": d_params, **d_state}, d_in, d_lab, d_fts, train=True,
+                mutable=["sn"],
+            )
+            d_fake, d_real = jnp.split(out, [z.shape[0]], axis=0)
         loss_real, loss_fake = d_loss_fn(d_fake, d_real)
         loss = (loss_real + loss_fake) / float(cfg.num_D_accumulations)
         return loss, (g_mut, d_mut, loss_real, loss_fake)

@@ -72,6 +72,13 @@ class TrainerConfig:
     sv_log_interval: int = 0
     log_G_spectra: bool = False
     log_D_spectra: bool = False
+    # Weight-init styles (ref ``init_weights``, BigGAN.py:294-345): "ortho"
+    # (the construction default), "N02", "glorot"/"xavier".  ``skip_init``
+    # skips the post-init re-draw entirely — values are don't-care when a
+    # checkpoint load immediately follows (ref utils.py:382-388).
+    G_init: str = "ortho"
+    D_init: str = "ortho"
+    skip_init: bool = False
     # Informational: reference world size (n_nodes * n_gpus_per_node) the
     # global batch derivation came from.
     world_size: int = 1
@@ -139,6 +146,15 @@ class Trainer:
         g_vars = self.g.init(rng, z, label, feats, train=True)
         x = jnp.zeros((mb, model_cfg.resolution, model_cfg.resolution, 3))
         d_vars = self.d.init(rng, x, label, feats, train=True)
+        if not trainer_cfg.skip_init:
+            from ic_gan_tpu.models.layers import apply_weight_init
+
+            g_vars["params"] = apply_weight_init(
+                g_vars["params"], jax.random.fold_in(rng, 1), trainer_cfg.G_init
+            )
+            d_vars["params"] = apply_weight_init(
+                d_vars["params"], jax.random.fold_in(rng, 2), trainer_cfg.D_init
+            )
         self.state = GANTrainState.create(
             g_vars, d_vars, train_cfg.g_optimizer(), train_cfg.d_optimizer()
         )

@@ -12,7 +12,7 @@ from ic_gan_tpu.parallel.mesh import make_mesh, shard_batch
 
 
 def build(res=32, mb=4, n_acc_d=2, n_acc_g=2, n_d_steps=1, debug_grads=False,
-          **cfg_kw):
+          tcfg_kw=None, **cfg_kw):
     mcfg = BigGANConfig(
         resolution=res, n_classes=10, G_ch=8, D_ch=8, dim_z=20,
         G_attn="0", D_attn="0", shared_dim=16, shared_dim_feat=24,
@@ -25,6 +25,7 @@ def build(res=32, mb=4, n_acc_d=2, n_acc_g=2, n_d_steps=1, debug_grads=False,
         ema_start=0,
         class_cond=mcfg.class_cond,
         instance_cond=mcfg.instance_cond,
+        **(tcfg_kw or {}),
     )
     g, d = Generator(mcfg), Discriminator(mcfg)
     rng = jax.random.PRNGKey(0)
@@ -99,6 +100,30 @@ def test_train_step_diffaugment_and_ortho():
     step2 = make_train_step(g.apply, d.apply, tcfg, mcfg.effective_dim_z)
     new_state, metrics = jax.jit(step2)(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["G_loss"]))
+
+
+def test_train_step_split_d_matches_concat_fake_pass():
+    """``split_D`` (ref ``BigGAN.py:679-687``): D runs fake and real as two
+    forwards.  The fake forward normalizes with the same SN state the concat
+    path's single forward uses, so ``D_loss_fake`` must match the concat
+    step; the real pass runs on a once-more-iterated SN state and may drift
+    slightly — asserted finite, and the step must still update everything."""
+    state, step, batch = build()
+    state2, step2, batch2 = build(tcfg_kw={"split_D": True})
+    rng = jax.random.PRNGKey(11)
+    _, m_concat = jax.jit(step)(state, batch, rng)
+    new_state, m_split = jax.jit(step2)(state2, batch2, rng)
+    np.testing.assert_allclose(
+        float(m_split["D_loss_fake"]), float(m_concat["D_loss_fake"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    for k in ("G_loss", "D_loss_real", "D_loss_fake"):
+        assert np.isfinite(float(m_split[k])), k
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state2.d_params),
+                        jax.tree.leaves(new_state.d_params))
+    )
 
 
 def test_train_step_class_and_instance_cond():
