@@ -36,3 +36,13 @@ def record(name: str, **fields):
     os.replace(tmp, path)
     print(f"[results] wrote {path}")
     return path
+
+
+def enable_compile_cache():
+    """Persistent XLA compile cache — relay TPU compiles are minutes cold,
+    seconds warm.  One place so every bench uses the same path/threshold."""
+    import os as _os
+
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.path.expanduser("~/.cache/ic_gan_tpu/xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

@@ -20,9 +20,12 @@ import jax.numpy as jnp
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/ic_gan_tpu/xla_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _results import enable_compile_cache
+
+enable_compile_cache()
 
 from __graft_entry__ import _fast_variables
 

@@ -64,12 +64,12 @@ CONSUMED_KEYS = {
     "n_subsampled_data", "k_nn", "load_in_mem_feats", "filter_hd",
     "which_nn_balance", "which_loss",
     "longtail_gen", "longtail_temperature", "use_balanced_sampler",
-    "custom_distrib_gen", "constant_conditioning",
+    "custom_distrib_gen", "constant_conditioning", "class_probabilities",
     # eval / sampling apps
     "num_inception_images", "no_fid", "eval_prdc", "eval_reference_set",
     "eval_instance_set", "sample_npz", "sample_num_npz", "sample_sheets",
     "sample_interps", "sample_sheet_folder_num", "sample_random",
-    "sample_trunc_curves", "sample_inception_metrics", "stratified_moments",
+    "sample_trunc_curves", "stratified_moments",
     "json_config",
     # framework-native extras (keys read by the cli/ apps)
     "backbone", "pth_dir", "network_pkl", "suffix", "which_model",
@@ -79,7 +79,7 @@ CONSUMED_KEYS = {
     "metrics_out", "npz_path", "num_conditionings_gen", "num_imgs_gen",
     "prdc_ref_images", "prdc_nearest_k", "stored_features", "stored_labels",
     "out_dir", "num_imgs", "num_samples", "chunk_size", "compute_moments",
-    "split", "samples_per_class_path", "max_steps",
+    "split", "samples_per_class_path", "max_steps", "log_every",
     "feature_extractor_weights", "input_image",
     # multi-host bootstrap (cli/train.py; replaces the SLURM tcp://
     # rendezvous of the reference)
@@ -118,6 +118,9 @@ CONSUMED_KEYS_SG2 = {
 # batch norm is always cross-replica (strictly stronger than the
 # reference's DDP-disabled SyncBN — SURVEY.md §2.3).
 SUPERSEDED_KEYS = {
+    # sample.py's in-run IS/FID recompute — superseded by the dedicated
+    # eval CLI (icgan-test computes IS/FID/PRDC on the same checkpoint).
+    "sample_inception_metrics",
     "run_setup", "ddp_train", "parallel", "num_workers", "shuffle",
     "no_pin_memory", "pin_memory", "load_in_mem", "use_multiepoch_sampler",
     "use_checkpointable_sampler", "cross_replica", "syncbn", "mybn",
@@ -289,10 +292,18 @@ def _split_train_and_data(cfg: Dict[str, Any]):
         sv_log_interval=g("sv_log_interval", 0),
         log_G_spectra=g("log_G_spectra", False),
         log_D_spectra=g("log_D_spectra", False),
+        log_every=g("log_every", 100),
         enable_tb=not g("no_tb", False),
         G_init=g("G_init", "ortho"),
         D_init=g("D_init", "ortho"),
         skip_init=g("skip_init", False),
+        longtail_gen=g("longtail_gen", False),
+        custom_distrib_gen=g("custom_distrib_gen", False),
+        longtail_temperature=g("longtail_temperature", 1.0),
+        constant_conditioning=g("constant_conditioning", False),
+        class_probabilities=g("class_probabilities", None),
+        longtail=g("longtail", False),
+        use_balanced_sampler=g("use_balanced_sampler", False),
     )
     data_kwargs = dict(
         resolution=g("resolution", 64),

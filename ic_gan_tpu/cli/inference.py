@@ -161,9 +161,24 @@ def load_model_inference(cfg: Dict[str, Any]):
     dim_z = getattr(model_cfg, "effective_dim_z", None) or model_cfg.z_dim
 
     def build(vs):
-        fn = make_sampler(
+        raw = make_sampler(
             g, vs, batch_size=batch, dtype=dtype, **apply_kwargs
         )
+        fn = raw
+        if backbone == "stylegan2" and getattr(model_cfg, "c_dim", 0):
+            # SG2 conditioning is a one-hot c vector (MappingNetwork embed);
+            # accept integer labels here so every consumer (sheet tools,
+            # random grids, demo) can pass labels backbone-agnostically.
+            def fn(z, label=None, feats=None, **kw):
+                if label is not None:
+                    lab = jnp.asarray(label)
+                    if jnp.issubdtype(lab.dtype, jnp.integer):
+                        lab = jax.nn.one_hot(
+                            lab.reshape(-1), model_cfg.c_dim
+                        )
+                    label = lab
+                return raw(z, label, feats, **kw)
+
         fn.module = g
         fn.variables = vs
         fn.model_cfg = model_cfg
@@ -246,11 +261,13 @@ def make_conditioned_sampler(
         z_var = cfg.get("z_var", 1.0)
     counter = [0]
 
+    np_rng = np.random.default_rng(cfg.get("seed", 0))
+
     def sample(b):
         counter[0] += 1
         rng = jax.random.PRNGKey(cfg.get("seed", 0) + counter[0])
         labels = feats = None
-        if dataset is not None and (class_cond or instance_cond):
+        if dataset is not None and instance_cond:
             if dataset.which_nn_balance == "instance_balance":
                 labels, feats = dataset.sample_conditioning_instance_balance(b)
             else:
@@ -261,6 +278,33 @@ def make_conditioned_sampler(
                 labels, feats = dataset.sample_conditioning_nnclass_balance(
                     b, **kw
                 )
+        elif class_cond:
+            # Class-only models: labels come from the y distribution, not
+            # instance sampling (ref get_sampling_funct wiring prepare_z_y,
+            # inference/utils.py:29-173).
+            from ic_gan_tpu.data.distributions import sample_gen_labels
+
+            nc = (getattr(model_cfg, "n_classes", 0)
+                  or getattr(model_cfg, "c_dim", 1))
+            needs_probs = cfg.get("longtail_gen", False) or cfg.get(
+                "custom_distrib_gen", False)
+            class_prob = None
+            if needs_probs:
+                if cfg.get("class_probabilities"):
+                    class_prob = np.load(cfg["class_probabilities"],
+                                         allow_pickle=True)
+                elif dataset is not None:
+                    lab_all = dataset.get_label(dataset.possible_sampling_idxs)
+                    class_prob = np.bincount(
+                        np.asarray(lab_all).reshape(-1), minlength=nc)
+            labels = sample_gen_labels(
+                np_rng, b, nc,
+                longtail_gen=cfg.get("longtail_gen", False),
+                custom_distrib_gen=cfg.get("custom_distrib_gen", False),
+                longtail_temperature=cfg.get("longtail_temperature", 1.0),
+                constant_conditioning=cfg.get("constant_conditioning", False),
+                class_prob=class_prob,
+            )
         z = jax.random.normal(rng, (b, dim_z)) * np.sqrt(z_var)
         lab_in = None
         if class_cond and labels is not None:

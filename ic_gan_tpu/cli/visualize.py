@@ -210,6 +210,11 @@ def main(argv=None):
     z_var = cfg.get("z_var", 1.0)
     seed = cfg.get("seed", 0)
     out_dir = cfg.get("out_dir", "sheets")
+    # Reference sheet layout: sheets live under a numbered subfolder
+    # (``sample_sheet_folder_num``, utils.py:1406-1414).
+    folder_num = cfg.get("sample_sheet_folder_num", -1)
+    if folder_num is not None and int(folder_num) >= 0:
+        out_dir = os.path.join(out_dir, str(int(folder_num)))
     os.makedirs(out_dir, exist_ok=True)
 
     features = labels = None
@@ -217,6 +222,10 @@ def main(argv=None):
         features, labels = load_stored_features(cfg["stored_features"])
 
     class_cond, instance_cond = conditioning_flags(cfg, model_cfg)
+    # Label space size for either backbone (SG2 carries c_dim, not n_classes).
+    num_classes = (
+        getattr(model_cfg, "n_classes", 0) or getattr(model_cfg, "c_dim", 1)
+    )
     written = []
 
     def _conditionings(n):
@@ -237,7 +246,7 @@ def main(argv=None):
                 "kmeans_subsampled writes one)"
             )
         elif class_cond:
-            for c in range(min(n, getattr(model_cfg, "n_classes", n))):
+            for c in range(min(n, num_classes)):
                 conds.append((c, None))
         else:
             conds = [(None, None)] * n  # unconditional: fresh-z rows
@@ -263,8 +272,7 @@ def main(argv=None):
             labels_bank = None
             if class_cond:
                 labels_bank = (
-                    labels if labels is not None
-                    else np.arange(getattr(model_cfg, "n_classes", 1))
+                    labels if labels is not None else np.arange(num_classes)
                 )
             if features is None and instance_cond:
                 raise ValueError(
@@ -299,9 +307,7 @@ def main(argv=None):
                 )
             elif class_cond:
                 lab = jnp.asarray(
-                    np.random.RandomState(seed).randint(
-                        0, model_cfg.n_classes, n
-                    )
+                    np.random.RandomState(seed).randint(0, num_classes, n)
                 )
             imgs = np.asarray(apply_fn(z, lab, f))
             path = os.path.join(out_dir, "random.png")

@@ -80,6 +80,35 @@ def prepare_z_y(
     return z, y
 
 
+def sample_gen_labels(
+    rng: np.random.Generator,
+    n: int,
+    n_classes: int,
+    longtail_gen: bool = False,
+    custom_distrib_gen: bool = False,
+    longtail_temperature: float = 1.0,
+    constant_conditioning: bool = False,
+    class_prob=None,
+) -> np.ndarray:
+    """Host-side generator-label draw for class-conditional models without
+    instance features — the y distribution of ``sample_conditioning_values``
+    (ref ``utils.py:879-890`` + ``prepare_z_y`` dispatch ``:904-1016``):
+    uniform, empirical long-tail (``longtail_gen``), temperature-annealed
+    softmax(log p / T) (``custom_distrib_gen``), or all-zeros
+    (``constant_conditioning``)."""
+    if constant_conditioning:
+        return np.zeros(n, np.int64)
+    if longtail_gen or custom_distrib_gen:
+        p = np.asarray(class_prob, np.float64).reshape(-1)
+        p = p / p.sum()
+        if custom_distrib_gen:
+            logp = np.log(np.maximum(p, 1e-300))
+            p = np.exp(logp / longtail_temperature)
+            p = p / p.sum()
+        return rng.choice(n_classes, n, replace=True, p=p).astype(np.int64)
+    return rng.integers(0, n_classes, size=n).astype(np.int64)
+
+
 def make_weights_for_balanced_classes(
     labels: np.ndarray,
     n_classes: int,

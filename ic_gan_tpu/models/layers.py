@@ -438,8 +438,10 @@ class ConditionalBatchNorm(nn.Module):
             )(x, train=train or standing)
         elif self.norm_style == "nonorm":
             out = x
-        else:
+        elif self.norm_style.startswith("gn") or self.norm_style == "groupnorm":
             out = group_norm(x, self.norm_style, eps=self.eps)
+        else:
+            raise ValueError(f"unknown norm_style {self.norm_style!r}")
         return out * gain[:, None, None, :] + bias[:, None, None, :]
 
 

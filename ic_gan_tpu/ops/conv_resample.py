@@ -24,6 +24,24 @@ import jax.numpy as jnp
 from ic_gan_tpu.ops.resample import upfirdn2d, _quad, _filter_size
 
 
+def _is_symmetric_const(f) -> bool:
+    """True iff ``f`` is a trace-time constant and spatially symmetric.
+
+    The fused fast paths below build K = w ⊛ f (a convolution), while
+    upfirdn2d *correlates* with f — identical only when f == flip(f).  Every
+    SG2 resample filter (binomial setup_filter output) is symmetric, but the
+    filter is user-configurable, so gate on the actual values; traced
+    (non-constant) filters fall back to the generic exact path."""
+    try:
+        import numpy as np
+
+        arr = np.asarray(f)
+    except Exception:
+        return False
+    flipped = arr[::-1] if arr.ndim == 1 else arr[::-1, ::-1]
+    return bool(np.allclose(arr, flipped))
+
+
 def _compose_kernel(w, f2d):
     """Full 2-D convolution of a conv kernel with a (symmetric) FIR filter:
     correlations compose as corr(corr(x, F), W) = corr(x, F ⊛ W), so the
@@ -140,6 +158,7 @@ def conv2d_resample(
             and kh == 3 and kw == 3
             and tuple(f.shape) in ((4,), (4, 4))
             and (py0, py1, px0, px1) == (3, 2, 3, 2)
+            and _is_symmetric_const(f)
         ):
             f2d = jnp.outer(f, f) if f.ndim == 1 else f
             return _conv_up2_polyphase(
@@ -171,6 +190,7 @@ def conv2d_resample(
             down == 2 and groups == 1 and f is not None
             and tuple(f.shape) in ((4,), (4, 4))
             and min(px0, px1, py0, py1) >= 0
+            and _is_symmetric_const(f)
         ):
             f2d = jnp.outer(f, f) if f.ndim == 1 else f
             K = _compose_kernel(w, f2d).astype(x.dtype)

@@ -174,7 +174,11 @@ def make_train_step(
             mutable=["batch_stats", "sn"],
         )
         d_in = fake
-        if cfg.DiffAugment:
+        # DiffAugment exists only on the concat path upstream (G_D.forward
+        # applies it after the split_D early-return, BigGAN.py:679-704), so
+        # split_D disables it in the G phase too — otherwise G would train
+        # against augmented fakes D never saw augmented.
+        if cfg.DiffAugment and not cfg.split_D:
             d_in = diff_augment(aug_rng, d_in, cfg.DiffAugment)
         out, d_mut = d_apply(
             {"params": d_params, **d_state}, d_in, gl, gf, train=True,

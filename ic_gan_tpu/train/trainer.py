@@ -72,6 +72,11 @@ class TrainerConfig:
     sv_log_interval: int = 0
     log_G_spectra: bool = False
     log_D_spectra: bool = False
+    # Train-metrics jsonl cadence.  The reference writes every iteration
+    # (trainer.py:468); on the relay TPU a per-step metrics fetch is a
+    # device→host round trip, so default to every 100 steps.  Set to 1 for
+    # reference-exact logging.
+    log_every: int = 100
     # Weight-init styles (ref ``init_weights``, BigGAN.py:294-345): "ortho"
     # (the construction default), "N02", "glorot"/"xavier".  ``skip_init``
     # skips the post-init re-draw entirely — values are don't-care when a
@@ -79,6 +84,24 @@ class TrainerConfig:
     G_init: str = "ortho"
     D_init: str = "ortho"
     skip_init: bool = False
+    # Generator label distribution for class-conditional models without
+    # instance features (ref ``prepare_z_y`` + ``sample_conditioning_values``,
+    # ``data_utils/utils.py:830-1016``; wiring ``trainer.py:264-334``):
+    # uniform by default; ``longtail_gen`` draws from the empirical class
+    # distribution; ``custom_distrib_gen`` tempers it with softmax(log p / T);
+    # ``constant_conditioning`` fixes every generator label to 0.
+    longtail_gen: bool = False
+    custom_distrib_gen: bool = False
+    longtail_temperature: float = 1.0
+    constant_conditioning: bool = False
+    # Optional npy of per-class probabilities (the reference hardcodes
+    # ``imagenet_lt/imagenet_lt_class_prob.npy``, absent from its checkout);
+    # default: derive the empirical distribution from the dataset labels.
+    class_probabilities: Optional[str] = None
+    # Conditioning-draw balancing (ref trainer.py:336-371, gated on
+    # longtail & use_balanced_sampler & instance_cond).
+    longtail: bool = False
+    use_balanced_sampler: bool = False
     # Informational: reference world size (n_nodes * n_gpus_per_node) the
     # global batch derivation came from.
     world_size: int = 1
@@ -149,12 +172,19 @@ class Trainer:
         if not trainer_cfg.skip_init:
             from ic_gan_tpu.models.layers import apply_weight_init
 
-            g_vars["params"] = apply_weight_init(
-                g_vars["params"], jax.random.fold_in(rng, 1), trainer_cfg.G_init
-            )
-            d_vars["params"] = apply_weight_init(
-                d_vars["params"], jax.random.fold_in(rng, 2), trainer_cfg.D_init
-            )
+            # One jitted call per net: an un-jitted re-draw is one relay
+            # round trip per leaf on the remote TPU backend (CLAUDE.md).
+            redraw = jax.jit(apply_weight_init, static_argnames="style")
+            if trainer_cfg.G_init != "ortho":
+                g_vars["params"] = redraw(
+                    g_vars["params"], jax.random.fold_in(rng, 1),
+                    style=trainer_cfg.G_init,
+                )
+            if trainer_cfg.D_init != "ortho":
+                d_vars["params"] = redraw(
+                    d_vars["params"], jax.random.fold_in(rng, 2),
+                    style=trainer_cfg.D_init,
+                )
         self.state = GANTrainState.create(
             g_vars, d_vars, train_cfg.g_optimizer(), train_cfg.d_optimizer()
         )
@@ -176,6 +206,22 @@ class Trainer:
             self.dataset.rng = np.random.default_rng(
                 trainer_cfg.seed + 100003 * jax.process_index()
             )
+
+        # Conditioning-draw weights (ref trainer.py:336-371): separate from
+        # the real-batch balanced sampler.  nnclass_balance takes per-CLASS
+        # probabilities — the reference's softmax of the raw class
+        # probabilities (its quirk: exp(p/T), not exp(log p/T),
+        # trainer.py:366-371); instance/center balance takes the per-sample
+        # weights.  Published configs all run with use_balanced_sampler off.
+        self.cond_weights = None
+        if (trainer_cfg.longtail and trainer_cfg.use_balanced_sampler
+                and model_cfg.instance_cond):
+            if dataset.which_nn_balance == "nnclass_balance":
+                p = self._class_probabilities()
+                w = np.exp(p / trainer_cfg.longtail_temperature)
+                self.cond_weights = w / w.sum()
+            else:
+                self.cond_weights = sampling_weights
 
         self.history: Dict[str, Any] = {
             "itr": 0, "epoch": 0, "best_IS": 0.0, "best_FID": float("inf"),
@@ -204,6 +250,59 @@ class Trainer:
         )
 
     # -- data ---------------------------------------------------------------
+
+    def _class_probabilities(self) -> np.ndarray:
+        """Per-class probability vector: the ``class_probabilities`` npy when
+        given, else the dataset's empirical label distribution (identical for
+        a matching dump — the reference ships no npy in its checkout)."""
+        cached = getattr(self, "_class_prob_cache", None)
+        if cached is not None:
+            return cached
+        if self.cfg.class_probabilities:
+            p = np.load(self.cfg.class_probabilities, allow_pickle=True)
+            p = np.asarray(p, np.float64).reshape(-1)
+        else:
+            labels = self.dataset.get_label(self.dataset.possible_sampling_idxs)
+            p = np.bincount(
+                np.asarray(labels).reshape(-1), minlength=self.mcfg.n_classes
+            ).astype(np.float64)
+        p = p / p.sum()
+        self._class_prob_cache = p
+        return p
+
+    def _sample_gen_labels(self, n: int) -> np.ndarray:
+        """Generator labels for class-only models (ref
+        ``sample_conditioning_values``, ``utils.py:879-890``: the y
+        distribution from ``prepare_z_y``)."""
+        from ic_gan_tpu.data.distributions import sample_gen_labels
+
+        c = self.cfg
+        needs_probs = c.longtail_gen or c.custom_distrib_gen
+        return sample_gen_labels(
+            self.dataset.rng, n, self.mcfg.n_classes,
+            longtail_gen=c.longtail_gen,
+            custom_distrib_gen=c.custom_distrib_gen,
+            longtail_temperature=c.longtail_temperature,
+            constant_conditioning=c.constant_conditioning,
+            class_prob=self._class_probabilities() if needs_probs else None,
+        )
+
+    def _sample_gen_conditioning(self, n: int):
+        """One (labels, feats) generator-conditioning draw — the dataset
+        samplers when instance features condition the model, the y
+        distribution otherwise (ref ``sample_conditioning_values`` dispatch,
+        ``utils.py:879-901``)."""
+        if self.mcfg.instance_cond:
+            if self.dataset.which_nn_balance == "instance_balance":
+                return self.dataset.sample_conditioning_instance_balance(
+                    n, self.cond_weights
+                )
+            return self.dataset.sample_conditioning_nnclass_balance(
+                n, self.cond_weights, num_classes=self.mcfg.n_classes
+            )
+        if self.mcfg.class_cond:
+            return self._sample_gen_labels(n), None
+        return None, None
 
     def make_batch(self):
         """Assemble the slab batch consumed by the train step: nD microbatches
@@ -234,14 +333,7 @@ class Trainer:
             batch["feats"] = np.stack(feats)
         gl, gf = [], []
         for _ in range(nD + nG):
-            if self.dataset.which_nn_balance == "instance_balance":
-                labels_g, f_g = self.dataset.sample_conditioning_instance_balance(
-                    mb, self.sampling_weights
-                )
-            else:
-                labels_g, f_g = self.dataset.sample_conditioning_nnclass_balance(
-                    mb, self.sampling_weights, num_classes=self.mcfg.n_classes
-                )
+            labels_g, f_g = self._sample_gen_conditioning(mb)
             gl.append(labels_g)
             gf.append(f_g)
         if self.mcfg.class_cond:
@@ -290,12 +382,7 @@ class Trainer:
         return variables
 
     def _sample_conditioning(self, n: int):
-        if self.dataset.which_nn_balance == "instance_balance":
-            labels, feats = self.dataset.sample_conditioning_instance_balance(n)
-        else:
-            labels, feats = self.dataset.sample_conditioning_nnclass_balance(
-                n, num_classes=self.mcfg.n_classes
-            )
+        labels, feats = self._sample_gen_conditioning(n)
         return (
             labels if self.mcfg.class_cond else None,
             feats if self.mcfg.instance_cond else None,
@@ -528,7 +615,8 @@ class Trainer:
                         lambda x: x.block_until_ready(), self.state.g_params
                     )
                     jax.profiler.stop_trace()
-                if self.history["itr"] % 100 == 0 and self.is_main:
+                if (self.history["itr"] % max(self.cfg.log_every, 1) == 0
+                        and self.is_main):
                     vals = {k: float(v) for k, v in metrics.items()}
                     self.train_log.log(itr=self.history["itr"], **vals)
                     if self.tb:

@@ -64,8 +64,12 @@ def test_unknown_key_warns_and_strict_raises():
 
 def test_default_only_key_warns_on_nondefault():
     with pytest.warns(UserWarning, match="only supported at its reference"):
-        assert validate_config({"norm_style": "groupnorm"})
-    assert validate_config({"norm_style": "bn"}) == []
+        assert validate_config({"G_param": "ortho_reg"})
+    assert validate_config({"G_param": "SN"}) == []
+    # Formerly default-only, now consumed (r3): no warning.
+    for k, v in (("norm_style", "groupnorm"), ("split_D", True),
+                 ("G_init", "N02"), ("skip_init", True), ("augment", True)):
+        assert validate_config({k: v}) == []
 
 
 def test_global_batch_derivation():

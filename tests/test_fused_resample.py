@@ -153,3 +153,31 @@ def test_composite_paths_gradients():
         gr = jax.grad(up_ref, arg)(x, w)
         np.testing.assert_allclose(np.asarray(gn), np.asarray(gr),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_asymmetric_filter_falls_back_exactly():
+    """The fused fast paths build K = w ⊛ f (a convolution) while upfirdn2d
+    correlates with f — equal only for symmetric filters.  An asymmetric
+    4-tap filter must skip the fast path (``_is_symmetric_const`` gate) and
+    still match the naive chain exactly."""
+    from ic_gan_tpu.ops.conv_resample import conv2d_resample, _is_symmetric_const
+    from ic_gan_tpu.ops.resample import setup_filter
+
+    rng = np.random.RandomState(3)
+    f = jnp.asarray(setup_filter(jnp.asarray([1.0, 2.0, 3.0, 4.0]),
+                                 separable=True))
+    assert not _is_symmetric_const(f)
+    assert _is_symmetric_const(
+        jnp.asarray(setup_filter(jnp.asarray([1, 3, 3, 1]), separable=True)))
+
+    x = jnp.asarray(rng.randn(2, 8, 8, 5), np.float32)
+    w = jnp.asarray(rng.randn(3, 3, 5, 6), np.float32) * 0.1
+    got_up = conv2d_resample(x, w, f=f, up=2, padding=1, flip_weight=True)
+    ref_up = _sg2_up_chain_oracle(x, w, f, True)
+    np.testing.assert_allclose(np.asarray(got_up), np.asarray(ref_up),
+                               atol=2e-5)
+
+    got_dn = conv2d_resample(x, w, f=f, down=2, padding=1, flip_weight=True)
+    ref_dn = _sg2_down_chain_oracle(x, w, f, 2, True)
+    np.testing.assert_allclose(np.asarray(got_dn), np.asarray(ref_dn),
+                               atol=2e-5)

@@ -144,3 +144,36 @@ def test_sample_cli_writes_jpegs(tmp_path):
 
     img = np.asarray(Image.open(tmp_path / "out" / files[0]))
     assert img.shape == (32, 32, 3)
+
+
+def test_conditioned_sampler_class_only():
+    """Class-only models draw eval labels from the y distribution (ref
+    ``get_sampling_funct``, inference/utils.py:29-173) — the dataset
+    instance samplers must not be touched (no features exist)."""
+    from ic_gan_tpu.cli.inference import make_conditioned_sampler
+    from ic_gan_tpu.models.biggan import BigGANConfig
+
+    mcfg = BigGANConfig(
+        resolution=32, n_classes=7, class_cond=True, instance_cond=False,
+    )
+    seen = {}
+
+    def apply_fn(z, label, feats, device_output=False):
+        seen["label"] = label
+        seen["feats"] = feats
+        return jnp.zeros((z.shape[0], 32, 32, 3))
+
+    cfg = {"seed": 3, "batch_size": 16}
+    sample = make_conditioned_sampler(cfg, apply_fn, mcfg, dataset=None)
+    imgs, labels = sample(16)
+    assert labels is not None and len(labels) == 16
+    assert np.asarray(labels).dtype.kind == "i"
+    assert 0 <= int(np.min(labels)) and int(np.max(labels)) < 7
+    assert seen["feats"] is None
+
+    # constant_conditioning: every label zero (ref utils.py:884-885).
+    sample0 = make_conditioned_sampler(
+        {"seed": 3, "constant_conditioning": True}, apply_fn, mcfg,
+        dataset=None)
+    _, labels0 = sample0(8)
+    assert (np.asarray(labels0) == 0).all()

@@ -226,3 +226,20 @@ def test_train_step_survives_nan_microbatch():
     _, m2 = jax.jit(step2)(state2, batch2, jax.random.PRNGKey(4))
     assert float(m2["D_grad_nonfinite"]) == 0
     assert float(m2["G_grad_nonfinite"]) == 0
+
+
+def test_split_d_disables_diffaugment_everywhere():
+    """Under split_D the reference never augments (DA exists only on the
+    concat path, BigGAN.py:679-704) — a split_D step with DiffAugment set
+    must be bit-identical to one without it, in BOTH phases."""
+    state, step, batch = build(
+        tcfg_kw={"split_D": True, "DiffAugment": "color,translation,cutout"})
+    state2, step2, batch2 = build(tcfg_kw={"split_D": True})
+    rng = jax.random.PRNGKey(5)
+    s1, m1 = jax.jit(step)(state, batch, rng)
+    s2, m2 = jax.jit(step2)(state2, batch2, rng)
+    for k in ("D_loss_real", "D_loss_fake", "G_loss"):
+        np.testing.assert_array_equal(
+            np.asarray(m1[k]), np.asarray(m2[k]), err_msg=k)
+    for a, b in zip(jax.tree.leaves(s1.g_params), jax.tree.leaves(s2.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -181,3 +181,72 @@ def test_trainer_with_deep_backbone(tiny_env):
     tr = Trainer(mcfg, tcfg, trcfg, ds)
     tr.run(steps_per_epoch=1)
     assert tr.history["itr"] == 1
+
+
+def test_trainer_class_only_longtail_gen(tmp_path):
+    """Class-conditional-only models (the published ImageNet[-LT] BigGAN and
+    COCO unconditional configs): generator labels come from the y
+    distribution (ref ``sample_conditioning_values``, utils.py:879-890),
+    NOT from instance sampling — this path used to crash (the trainer always
+    called the feature-based conditioning samplers)."""
+    rng = np.random.RandomState(0)
+    names = hdf5_filenames(32, "imagenet")
+    # Long-tail labels over 4 classes: 12/6/4/2 samples.
+    labels = np.repeat(np.arange(4), [12, 6, 4, 2]).astype(np.int64)
+    with h5py.File(tmp_path / names["xy"], "w") as f:
+        f.create_dataset(
+            "imgs", data=rng.randint(0, 255, (24, 3, 32, 32), dtype=np.uint8)
+        )
+        f.create_dataset("labels", data=labels)
+    ds = HDF5Dataset(
+        root=str(tmp_path / names["xy"]), load_labels=True,
+        load_features=False,
+    )
+    mcfg = BigGANConfig(
+        resolution=32, n_classes=4, G_ch=4, D_ch=4, dim_z=8, G_attn="0",
+        D_attn="0", shared_dim=8, class_cond=True, instance_cond=False,
+    )
+    tcfg = TrainConfig(num_D_accumulations=1, num_G_accumulations=1,
+                       ema_start=0, class_cond=True, instance_cond=False)
+    trcfg = TrainerConfig(
+        experiment_name="lt", weights_root=str(tmp_path / "w"),
+        logs_root=str(tmp_path / "l"), num_epochs=1, test_every=100,
+        save_every=100, batch_size=4, longtail=True, longtail_gen=True,
+        log_every=1,  # reference-exact per-itr jsonl (ref trainer.py:468)
+    )
+    tr = Trainer(mcfg, tcfg, trcfg, ds)
+
+    batch = tr.make_batch()
+    assert "gen_label" in batch and "gen_feats" not in batch
+    assert np.asarray(batch["gen_label"]).dtype.kind == "i"
+
+    # longtail_gen: labels follow the empirical class distribution.
+    draws = tr._sample_gen_labels(4000)
+    got = np.bincount(draws, minlength=4) / 4000.0
+    np.testing.assert_allclose(got, labels.shape[0] and
+                               np.bincount(labels, minlength=4) / 24.0,
+                               atol=0.04)
+
+    # custom_distrib_gen with a high temperature flattens the distribution.
+    tr.cfg.custom_distrib_gen = True
+    tr.cfg.longtail_temperature = 1e6
+    flat = np.bincount(tr._sample_gen_labels(4000), minlength=4) / 4000.0
+    np.testing.assert_allclose(flat, 0.25, atol=0.04)
+
+    # constant_conditioning: all zeros (ref utils.py:884-885).
+    tr.cfg.constant_conditioning = True
+    assert (tr._sample_gen_labels(64) == 0).all()
+    tr.cfg.constant_conditioning = False
+    tr.cfg.custom_distrib_gen = False
+
+    tr.run(steps_per_epoch=2)
+    assert tr.history["itr"] == 2
+    imgs, lab, feats = tr.sample_fn(4, jax.random.PRNGKey(0))
+    assert imgs.shape == (4, 32, 32, 3) and feats is None
+    assert lab is not None
+
+    # log_every=1 → one jsonl row per iteration (ref trainer.py:468).
+    import json
+    log = tmp_path / "l" / "lt" / "lt_log.jsonl"
+    rows = [json.loads(s) for s in open(log)]
+    assert [r["itr"] for r in rows] == [1, 2]

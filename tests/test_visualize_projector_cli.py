@@ -145,3 +145,46 @@ def test_projector_cli(network_pkl, tmp_path):
     for name in ("target.png", "proj.png"):
         img = np.asarray(Image.open(out_dir / name))
         assert img.shape == (RES, RES, 3)
+
+
+def test_visualize_class_conditional_stylegan2(tmp_path):
+    """Regression: sheet tools on a class-conditional (c_dim>0) StyleGAN2
+    network draw integer labels — the deployment sampler must one-hot them
+    for the mapping network (previously a shape crash in every sheet mode)."""
+    import pickle
+    import sys
+
+    sys.path.insert(0, "/root/reference/stylegan2_ada_pytorch")
+    from training import networks
+
+    G = networks.Generator(
+        z_dim=ZDIM, c_dim=3, w_dim=WDIM, h_dim=0, img_resolution=RES,
+        img_channels=3,
+        mapping_kwargs=dict(num_layers=2),
+        synthesis_kwargs=dict(channel_base=512, channel_max=64,
+                              num_fp16_res=0, conv_clamp=None),
+    )
+    pkl = tmp_path / "cc-net.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"G_ema": G}, f)
+
+    from PIL import Image
+
+    from ic_gan_tpu.cli import visualize
+
+    out_dir = tmp_path / "sheets"
+    written = visualize.main(_argv({
+        "backbone": "stylegan2", "network_pkl": str(pkl),
+        "mode": "random", "num_samples": 8, "out_dir": str(out_dir),
+        "batch_size": 8,
+    }))
+    img = np.asarray(Image.open(written[0]))
+    assert img.shape == (RES, 8 * RES, 3)
+
+    written = visualize.main(_argv({
+        "backbone": "stylegan2", "network_pkl": str(pkl),
+        "mode": "interp", "num_rows": 2, "num_midpoints": 2,
+        "out_dir": str(out_dir), "batch_size": 8,
+    }))
+    img = np.asarray(Image.open(written[0]))
+    assert img.shape[0] == 2 * RES  # 2 rows of (midpoints+2) steps
