@@ -70,6 +70,13 @@ CONSUMED_KEYS = {
     "eval_instance_set", "sample_npz", "sample_num_npz", "sample_sheets",
     "sample_interps", "sample_sheet_folder_num", "sample_random",
     "sample_trunc_curves", "stratified_moments",
+    # generate_images.py demo surface (ref inference/generate_images.py):
+    # model_backbone == backbone; trained_dataset picks the experiment name /
+    # feature-aug suffix; index pins one k-means center;
+    # visualize_instance_images + dataset_path prepend the ground-truth
+    # instance column; root_path locates stored_instances/ by convention.
+    "model_backbone", "trained_dataset", "index",
+    "visualize_instance_images", "dataset_path", "root_path",
     "json_config",
     # framework-native extras (keys read by the cli/ apps)
     "backbone", "pth_dir", "network_pkl", "suffix", "which_model",
@@ -79,7 +86,8 @@ CONSUMED_KEYS = {
     "metrics_out", "npz_path", "num_conditionings_gen", "num_imgs_gen",
     "prdc_ref_images", "prdc_nearest_k", "stored_features", "stored_labels",
     "out_dir", "num_imgs", "num_samples", "chunk_size", "compute_moments",
-    "split", "samples_per_class_path", "max_steps", "log_every",
+    "split", "samples_per_class_path", "max_steps", "steps_per_epoch",
+    "log_every",
     "feature_extractor_weights", "input_image",
     # multi-host bootstrap (cli/train.py; replaces the SLURM tcp://
     # rendezvous of the reference)

@@ -16,6 +16,17 @@ import jax
 import jax.numpy as jnp
 
 
+def reference_exp_name(cfg: Dict[str, Any]) -> str:
+    """The reference demo's experiment-name convention
+    (``generate_images.py:126-140``): ``{model}_{backbone}_{dataset}_res{r}``
+    plus ``_nofeataug`` for the released ImageNet res-256 models."""
+    res = int(cfg.get("resolution", 256))
+    dataset = cfg.get("trained_dataset", cfg.get("which_dataset", "imagenet"))
+    suffix = "_nofeataug" if res == 256 and dataset == "imagenet" else ""
+    backbone = cfg.get("backbone", cfg.get("model_backbone", "biggan"))
+    return f"{cfg.get('model', 'icgan')}_{backbone}_{dataset}_res{res}{suffix}"
+
+
 def load_generator(cfg: Dict[str, Any]):
     """Load a generator module + variables for inference.
 
@@ -45,10 +56,16 @@ def load_generator(cfg: Dict[str, Any]):
                 load_deep_generator_variables,
                 load_generator_variables,
                 load_pth_bundle,
+                select_best_pth_suffix,
             )
 
             which = cfg.get("which_model", "G_ema")
-            sd = load_pth_bundle(cfg["pth_dir"], which, cfg.get("suffix", ""))
+            suffix = cfg.get("suffix", "")
+            if not suffix:
+                # Reference best-FID selection over the best0/best1 copies
+                # (inference/utils.py:285-308).
+                suffix = select_best_pth_suffix(cfg["pth_dir"])
+            sd = load_pth_bundle(cfg["pth_dir"], which, suffix)
             variables = (
                 load_deep_generator_variables(sd, model_cfg)
                 if deep
@@ -70,8 +87,9 @@ def load_generator(cfg: Dict[str, Any]):
             )
             label = jnp.zeros((1,), jnp.int32) if model_cfg.class_cond else None
             g_vars = g.init(rng, z, label, feats)
-            root = cfg.get("weights_root", "weights")
-            name = cfg["experiment_name"]
+            root = (cfg.get("weights_root") or cfg.get("root_path")
+                    or "weights")
+            name = cfg.get("experiment_name") or reference_exp_name(cfg)
             suffix = cfg.get("load_weights", "")
             if not suffix:
                 best, _ = find_best_checkpoint(root, name)
@@ -103,10 +121,19 @@ def load_generator(cfg: Dict[str, Any]):
     elif backbone == "stylegan2":
         from ic_gan_tpu.models import stylegan2 as sg2
 
-        if cfg.get("network_pkl"):
+        network_pkl = cfg.get("network_pkl")
+        if not network_pkl and (cfg.get("base_root") or cfg.get("root_path")):
+            # Reference convention (inference/utils.py:406-407):
+            # {base_root}/{experiment_name}/best-network-snapshot.pkl
+            root = cfg.get("base_root") or cfg["root_path"]
+            name = cfg.get("experiment_name") or reference_exp_name(cfg)
+            cand = os.path.join(root, name, "best-network-snapshot.pkl")
+            if os.path.exists(cand):
+                network_pkl = cand
+        if network_pkl:
             from ic_gan_tpu.io.stylegan_import import load_network_pkl
 
-            nets = load_network_pkl(cfg["network_pkl"])
+            nets = load_network_pkl(network_pkl)
             variables, init_kwargs = nets.get("G_ema", nets.get("G"))
             syn_kw = dict(init_kwargs.get("synthesis_kwargs", {}))
             map_kw = dict(init_kwargs.get("mapping_kwargs", {}))
@@ -148,6 +175,10 @@ def load_model_inference(cfg: Dict[str, Any]):
     """
     from ic_gan_tpu.io.deploy import accumulate_standing_stats, make_sampler
 
+    # The reference demo spells the backbone flag --model_backbone
+    # (generate_images.py:55); accept it as an alias.
+    if "backbone" not in cfg and cfg.get("model_backbone"):
+        cfg["backbone"] = cfg["model_backbone"]
     g, variables, model_cfg = load_generator(cfg)
     backbone = cfg.get("backbone", "biggan")
     batch = cfg.get("batch_size", 32)
@@ -212,20 +243,30 @@ def get_conditionings(
     z_var: float = 1.0,
     swap_target: Optional[int] = None,
     seed: int = 0,
+    index: Optional[int] = None,
 ):
     """Replicate ``generate_images.py:68-124``: for each stored instance,
-    draw ``num_imgs_gen`` z's; optionally override the class label."""
+    draw ``num_imgs_gen`` z's; optionally override the class label.
+
+    ``index`` pins every row to one specific k-means center (ref ``--index``,
+    ``generate_images.py:84-87``: when given, each conditioning row reuses
+    that instance).  Returns ``(z, labels, feats, instance_idxs)``."""
     rng = jax.random.PRNGKey(seed)
-    feats = np.repeat(stored_features[:num_instances], num_imgs_gen, axis=0)
+    if index is not None:
+        idxs = np.full(num_instances, int(index), np.int64)
+    else:
+        idxs = np.arange(min(num_instances, len(stored_features)))
+    feats = np.repeat(stored_features[idxs], num_imgs_gen, axis=0)
     z = jax.random.normal(
-        rng, (num_instances * num_imgs_gen, dim_z)
+        rng, (len(idxs) * num_imgs_gen, dim_z)
     ) * np.sqrt(z_var)
     labels = None
     if stored_labels is not None:
-        labels = np.repeat(stored_labels[:num_instances], num_imgs_gen, axis=0)
+        labels = np.repeat(np.asarray(stored_labels)[idxs], num_imgs_gen,
+                           axis=0)
     if swap_target is not None:
-        labels = np.full(num_instances * num_imgs_gen, swap_target, np.int64)
-    return z, labels, feats
+        labels = np.full(len(idxs) * num_imgs_gen, swap_target, np.int64)
+    return z, labels, feats, idxs
 
 
 def conditioning_flags(cfg: Dict[str, Any], model_cfg) -> Tuple[bool, bool]:
@@ -327,23 +368,45 @@ def make_conditioned_sampler(
     return sample
 
 
-def load_stored_features(path: str):
+def stored_instances_path(root_path: str, which_dataset: str,
+                          resolution: int, model: str = "icgan") -> str:
+    """The reference's stored-instances filename convention
+    (``generate_images.py:25-37``): cc_icgan conditions on classification
+    features, icgan on self-supervised (SwAV) features."""
+    extractor = "classification" if model == "cc_icgan" else "selfsupervised"
+    return os.path.join(
+        root_path, "stored_instances",
+        f"{which_dataset}_res{resolution}_rn50_{extractor}"
+        "_kmeans_k1000_instance_features.npy",
+    )
+
+
+def load_stored_instances(path: str):
     """Load a stored instance-feature file (the k-means selections of
     ``generate_images.py:25-45``): either a plain ``(N, h_dim)`` array or a
-    dict npy with ``instance_features``/``feats`` and optional ``labels``.
+    dict npy with ``instance_features``/``feats`` and optional ``labels`` /
+    ``image_path`` (ground-truth JPEG paths relative to the dataset root).
 
-    Returns ``(features, labels_or_None)``.
+    Returns ``(features, labels_or_None, image_paths_or_None)``.
     """
     stored = np.load(path, allow_pickle=True)
+    image_paths = None
     if hasattr(stored, "item") and stored.dtype == object:
         stored = stored.item()
         features = np.asarray(
             stored.get("instance_features", stored.get("feats"))
         )
         labels = stored.get("labels")
+        image_paths = stored.get("image_path")
     else:
         features = np.asarray(stored)
         labels = None
+    return features, labels, image_paths
+
+
+def load_stored_features(path: str):
+    """``load_stored_instances`` without the image paths."""
+    features, labels, _ = load_stored_instances(path)
     return features, labels
 
 

@@ -64,7 +64,9 @@ def main(argv=None):
     )
     if cfg.get("resume", False) or cfg.get("load_weights", ""):
         trainer.resume(suffix=cfg.get("load_weights", ""))
-    trainer.run()
+    # steps_per_epoch caps the epoch loop (default: dataset-size derived) —
+    # smoke runs and the SG2 CLI's max_steps equivalent.
+    trainer.run(steps_per_epoch=cfg.get("steps_per_epoch"))
 
 
 if __name__ == "__main__":

@@ -373,6 +373,25 @@ def config_from_state_dict(state_dict_config: Dict[str, Any]) -> BigGANConfig:
     )
 
 
+def select_best_pth_suffix(weights_dir: str, num_best: int = 2) -> str:
+    """Pick the ``best%d`` copy with the lowest recorded FID from the
+    reference's ``state_dict_best{i}.pth`` files (``inference/utils.py:
+    285-308``).  Returns "" when no best copies exist."""
+    import os
+    import torch
+
+    best, best_fid = "", float("inf")
+    for i in range(num_best):
+        path = os.path.join(weights_dir, f"state_dict_best{i}.pth")
+        if not os.path.exists(path):
+            continue
+        sd = torch.load(path, map_location="cpu")
+        fid = float(sd.get("best_FID", float("inf")))
+        if fid < best_fid:
+            best_fid, best = fid, f"best{i}"
+    return best
+
+
 def load_pth_bundle(weights_dir: str, name: str = "G_ema", suffix: str = ""):
     """Load one ``.pth`` file from a reference checkpoint directory as a
     numpy state dict (requires torch; ref layout ``utils.py:1116-1265``)."""

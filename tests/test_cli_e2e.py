@@ -128,6 +128,49 @@ def test_03_generate_images(workdir):
     assert img.shape == (2 * 32, 3 * 32, 3)  # 6 images in a 2x3 grid
 
 
+def test_03b_generate_images_instance_column(workdir):
+    """Dict-npy conditioning with ``index`` + ``visualize_instance_images``
+    (ref generate_images.py:84-87, 198-215): every row pinned to one k-means
+    center, ground-truth instance column + 20-px gutter prepended."""
+    from ic_gan_tpu.cli import generate_images
+
+    gt_root = workdir / "jpegs"
+    gt_root.mkdir(exist_ok=True)
+    rng = np.random.RandomState(7)
+    paths = []
+    for i in range(3):
+        p = f"cls/{i}.jpg"
+        (gt_root / "cls").mkdir(exist_ok=True)
+        Image.fromarray(
+            rng.randint(0, 255, (48, 40, 3), dtype=np.uint8)
+        ).save(gt_root / p)
+        paths.append(p)
+    feats = rng.randn(3, 2048).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    stored = {
+        "instance_features": feats,
+        "labels": np.arange(3),
+        "image_path": np.asarray(paths, dtype=object),
+    }
+    feats_path = str(workdir / "stored_dict.npy")
+    np.save(feats_path, stored, allow_pickle=True)
+
+    out = str(workdir / "grid_gt.png")
+    run_cli(
+        generate_images, base_cfg(workdir),
+        stored_features=feats_path, num_conditionings_gen=2, num_imgs_gen=3,
+        index=1, visualize_instance_images=True, dataset_path=str(gt_root),
+        out_path=out,
+    )
+    img = np.asarray(Image.open(out))
+    # 2 rows (same pinned instance), cols = gt(32) + gutter(20) + 3*32.
+    assert img.shape == (2 * 32, 32 + 20 + 3 * 32, 3)
+    # gutter is white
+    assert (img[:, 32:52] == 255).all()
+    # both gt rows show the same (index=1) instance
+    np.testing.assert_array_equal(img[:32, :32], img[32:, :32])
+
+
 def test_04_quantitative_eval(workdir):
     from ic_gan_tpu.cli import test as cli_test
 

@@ -146,6 +146,60 @@ def test_sample_cli_writes_jpegs(tmp_path):
     assert img.shape == (32, 32, 3)
 
 
+def test_reference_demo_conventions(tmp_path):
+    """Path/name conventions of the reference demo: experiment-name derivation
+    (generate_images.py:126-140), stored-instances filename
+    (generate_images.py:25-37), best0/best1 .pth selection
+    (inference/utils.py:285-308)."""
+    from ic_gan_tpu.cli.inference import (
+        reference_exp_name,
+        stored_instances_path,
+    )
+    from ic_gan_tpu.io.torch_import import select_best_pth_suffix
+
+    assert reference_exp_name(
+        {"model": "icgan", "backbone": "biggan",
+         "trained_dataset": "imagenet", "resolution": 256}
+    ) == "icgan_biggan_imagenet_res256_nofeataug"
+    assert reference_exp_name(
+        {"model": "cc_icgan", "model_backbone": "stylegan2",
+         "trained_dataset": "coco", "resolution": 128}
+    ) == "cc_icgan_stylegan2_coco_res128"
+
+    assert stored_instances_path("/r", "imagenet", 64) == (
+        "/r/stored_instances/imagenet_res64_rn50_selfsupervised"
+        "_kmeans_k1000_instance_features.npy"
+    )
+    assert "classification" in stored_instances_path(
+        "/r", "coco", 128, model="cc_icgan")
+
+    import torch
+
+    torch.save({"best_FID": 30.0}, tmp_path / "state_dict_best0.pth")
+    torch.save({"best_FID": 12.5}, tmp_path / "state_dict_best1.pth")
+    assert select_best_pth_suffix(str(tmp_path)) == "best1"
+    assert select_best_pth_suffix(str(tmp_path / "nope")) == ""
+
+
+def test_get_conditionings_index_pinning():
+    """``index`` pins every conditioning row to one stored instance
+    (ref generate_images.py:84-87)."""
+    from ic_gan_tpu.cli.inference import get_conditionings
+
+    feats = np.arange(12, dtype=np.float32).reshape(4, 3)
+    labels = np.arange(4)
+    z, lab, f, idxs = get_conditionings(3, 2, feats, labels, dim_z=5, index=2)
+    assert z.shape == (6, 5)
+    np.testing.assert_array_equal(idxs, [2, 2, 2])
+    assert (np.asarray(f) == feats[2]).all()
+    assert (np.asarray(lab) == 2).all()
+
+    z, lab, f, idxs = get_conditionings(3, 2, feats, labels, dim_z=5,
+                                        swap_target=1)
+    np.testing.assert_array_equal(idxs, [0, 1, 2])
+    assert (np.asarray(lab) == 1).all()
+
+
 def test_conditioned_sampler_class_only():
     """Class-only models draw eval labels from the y distribution (ref
     ``get_sampling_funct``, inference/utils.py:29-173) — the dataset
