@@ -65,6 +65,44 @@ def main():
         out[f"{key}_xla_ms"] = t_x * 1e3
         out[f"{key}_pallas_ms"] = t_p * 1e3
         out[f"{key}_speedup"] = t_x / t_p
+
+    # Numerics pin at production geometry on the REAL compiled kernel (the
+    # pytest suite runs the Pallas interpreter on CPU — Mosaic's handling of
+    # the unaligned minor dims d=24/48, dv=96/192 is only exercised here).
+    # f32 inputs so the XLA oracle differs only by reduction order: fwd and
+    # grad deltas must sit at f32-epsilon scale, not bf16 scale.  The oracle
+    # needs `highest` matmul precision — TPU's default lowers f32 einsums to
+    # bf16 MXU passes, and with unit-normal inputs the |logits| ≈ 30 tails
+    # turn that into ~1e-2 fwd / ~0.3 grad deltas through the softmax (the
+    # Pallas kernel's dot_generals accumulate in f32 regardless).
+    jax.config.update("jax_default_matmul_precision", "highest")
+    for (Lq, Lk, d, dv) in [(4096, 1024, 48, 192), (4096, 1024, 24, 96)]:
+        N = 4
+        k = jax.random.split(jax.random.PRNGKey(1), 3)
+        theta = jax.random.normal(k[0], (N, Lq, d), jnp.float32)
+        phi = jax.random.normal(k[1], (N, Lk, d), jnp.float32)
+        g = jax.random.normal(k[2], (N, Lk, dv), jnp.float32)
+
+        def loss_pal(t, p, v):
+            return jnp.sum(jnp.sin(sagan_attention(t, p, v)))
+
+        def loss_xla(t, p, v):
+            return jnp.sum(jnp.sin(_attention_xla(t, p, v)))
+
+        fwd_err = float(jnp.max(jnp.abs(
+            jax.jit(sagan_attention)(theta, phi, g)
+            - jax.jit(_attention_xla)(theta, phi, g))))
+        g_pal = jax.jit(jax.grad(loss_pal, argnums=(0, 1, 2)))(theta, phi, g)
+        g_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(theta, phi, g)
+        grad_err = max(
+            float(jnp.max(jnp.abs(a - b))) for a, b in zip(g_pal, g_xla)
+        )
+        print(f"parity d={d} dv={dv} (f32): fwd max|Δ|={fwd_err:.3e}, "
+              f"grad max|Δ|={grad_err:.3e}")
+        assert fwd_err < 1e-4, fwd_err
+        assert grad_err < 1e-3, grad_err
+        out[f"parity_d{d}_fwd_maxerr"] = fwd_err
+        out[f"parity_d{d}_grad_maxerr"] = grad_err
     record("attention", **out)
 
 
