@@ -74,6 +74,22 @@ def main():
 
     from _results import record
 
+    # Parity pin on the COMPILED kernel (pytest runs the Pallas interpreter
+    # on CPU; Mosaic's pltpu.roll barrel shifter is only exercised here).
+    # Both engines run the identical Catmull-Smith math — only the row-shift
+    # primitive differs — so hardware deltas must sit at f32 epsilon.
+    w_x, w_p = (jax.jit(lambda a: fw.affine_warp(a, A, t, use_pallas=up))(big)
+                for up in (False, True))
+    fwd_err = float(jnp.max(jnp.abs(w_x - w_p)))
+    gx, gp = (jax.jit(jax.grad(lambda a: jnp.sum(
+        jnp.sin(fw.affine_warp(a, A, t, use_pallas=up)))))(big)
+        for up in (False, True))
+    grad_err = float(jnp.max(jnp.abs(gx - gp)))
+    print(f"parity XLA vs Pallas shifts: fwd max|Δ|={fwd_err:.3e}, "
+          f"grad max|Δ|={grad_err:.3e}")
+    assert fwd_err < 1e-4, fwd_err
+    assert grad_err < 1e-4, grad_err
+
     ms_x = bench(lambda a, _: fw.affine_warp(a, A, t, use_pallas=False), big)
     ms_p = bench(lambda a, _: fw.affine_warp(a, A, t, use_pallas=True), big)
     print(f"affine_warp 432² XLA shifts:    {ms_x:7.1f} ms")
@@ -89,7 +105,8 @@ def main():
            affine_warp_432_xla_ms=ms_x, affine_warp_432_pallas_ms=ms_p,
            affine_warp_speedup=ms_x / ms_p,
            bgc128_exact_ms=ms_pe, bgc128_fast_ms=ms_pf,
-           bgc128_speedup=ms_pe / ms_pf)
+           bgc128_speedup=ms_pe / ms_pf,
+           parity_fwd_maxerr=fwd_err, parity_grad_maxerr=grad_err)
 
 
 if __name__ == "__main__":
