@@ -13,10 +13,11 @@ and the end-to-end 'bgc' AugmentPipe fast vs exact.
 Timing: K iterations chained inside one jit (data dependency), single host
 sync — the relay backend adds ~25 ms per host round trip otherwise.
 
-Measured 2026-08-16 (v5e 1 chip):
-    warp  XLA shifts   165.8 ms   |  PALLAS shifts  24.5 ms   (6.8x)
-    xla row shift       96.2 ms   |  pallas shift   11.5 ms   (8.3x)
-    bgc pipe EXACT     170.2 ms   |  bgc pipe FAST  26.1 ms   (6.5x)
+Measured 2026-08-18 (v5e 1 chip, post planar-layout + rectangular-shift
+rewrite; canonical numbers live in benchmarks/results/ada_warp.json):
+    warp  XLA shifts   274.2 ms   |  PALLAS shifts   5.0 ms   (54x)
+    bgc pipe EXACT     161.6 ms   |  bgc pipe FAST   4.6 ms   (35x)
+    parity XLA vs Pallas shift engines: fwd/grad max|Δ| = 0.0 (bit-exact)
     SG2 128² step      195.4 ms no-aug  |  192.5 ms with bgc  (0.99x)
 """
 
