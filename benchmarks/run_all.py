@@ -23,6 +23,7 @@ BENCHES = [
     ("bench_train_step", []),
     ("bench_train_attribution", []),
     ("bench_sampling_breakdown", []),
+    ("bench_batch_sweep", []),
     ("bench_sg2_train", []),
     ("bench_sg2_attribution", []),
     ("bench_eval_fid", []),
