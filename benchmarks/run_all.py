@@ -24,6 +24,7 @@ BENCHES = [
     ("bench_train_attribution", []),
     ("bench_sampling_breakdown", []),
     ("bench_batch_sweep", []),
+    ("bench_conv_ceiling", []),
     ("bench_sg2_train", []),
     ("bench_sg2_attribution", []),
     ("bench_eval_fid", []),
