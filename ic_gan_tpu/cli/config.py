@@ -103,7 +103,7 @@ CONSUMED_KEYS = {
     # TFHub conversion (cli/convert_tfhub.py)
     "dump", "pth_out", "sample_grid", "sample_batch", "no_ema",
     # metric registry runner (cli/calc_metrics.py; ref calc_metrics.py)
-    "metrics", "run_dir", "ppl_num_samples",
+    "metrics", "run_dir", "ppl_num_samples", "max_real_images",
     # sheet/visualization CLI (cli/visualize.py; ref sample.py +
     # style_mixing.py) and the W-space projector (cli/projector.py)
     "mode", "num_midpoints", "num_rows", "row_seeds", "col_seeds",

@@ -158,9 +158,13 @@ def grid_sample_bilinear(img: jax.Array, grid: jax.Array) -> jax.Array:
 
     Implementation: one 2×2-patch gather per output point (vmapped
     dynamic_slice → a single lax.gather with slice_sizes=(2,2,C)) instead of
-    four scalar point-gathers — ~1.4× faster on TPU.  Gathers remain the ADA
-    geometric path's cost ceiling (~7× a no-augment training step at 128²);
-    a Catmull-Smith two-pass matmul/shear formulation is the planned fix.
+    four scalar point-gathers — ~1.4× faster on TPU.  This generic gather path
+    is kept as the oracle and the fallback for arbitrary grids; the training
+    hot path routes affine warps through the Catmull–Rom/shear decomposition
+    in ``data/fast_warp.py`` + the Pallas barrel-shift kernel
+    (``ops/pallas/row_shift.py``), which makes ADA's geometric stage
+    essentially free (0.99× a no-augment step at 128²,
+    ``benchmarks/results/ada_warp.json``).
     """
     N, H, W, C = img.shape
     gx = (grid[..., 0] + 1.0) * (W / 2.0) - 0.5
@@ -248,8 +252,9 @@ class AugmentPipe:
     ):
         # geom_impl: "exact" = per-pixel bilinear gather (bit-parity with the
         # reference grid_sample); "fast" = Catmull-Smith two-pass warp with
-        # the Pallas row-shift kernel (gather-free, ~7x faster on TPU,
-        # triple-lerp numerics within second-order interpolation error);
+        # the Pallas row-shift kernel (gather-free, 35–54× over the XLA
+        # shift engines at the 432² canvas — benchmarks/results/ada_warp.json
+        # — triple-lerp numerics within second-order interpolation error);
         # "auto" = fast on TPU, exact elsewhere.
         self.__dict__.update(
             {k: v for k, v in locals().items() if k not in ("self",)}

@@ -1,7 +1,9 @@
 """Gather-free affine image warp for TPU (Catmull-Smith two-pass).
 
-TPU gathers make the classic grid-sample bilinear warp the dominant cost of
-ADA's geometric augmentations (~7× a full training step).  This module
+TPU gathers made the classic grid-sample bilinear warp the dominant cost of
+ADA's geometric augmentations (~7× a full training step before r2; with this
+module + the Pallas row-shift kernel the geometric stage is free — 0.99× a
+no-augment step, ``benchmarks/results/ada_warp.json``).  This module
 implements the same per-sample inverse-affine warp as a composition of
 gather-free primitives:
 

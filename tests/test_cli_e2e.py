@@ -202,11 +202,13 @@ def test_05_calc_metrics(workdir):
     run_dir = str(workdir / "metric_runs")
     out = run_cli_ret(
         calc_metrics, base_cfg(workdir),
-        metrics="fid50k_full,is50k,kid50k_full,pr50k3",
-        num_inception_images=16, prdc_ref_images=16, run_dir=run_dir,
+        metrics="fid50k_full,is50k,kid50k_full,pr50k3,fid50k,kid50k,"
+                "pr50k3_full",
+        num_inception_images=16, max_real_images=16, run_dir=run_dir,
     )
     for key in ("fid50k_full", "is50k_mean", "kid50k_full",
-                "pr50k3_precision", "pr50k3_recall"):
+                "pr50k3_precision", "pr50k3_recall", "fid50k", "kid50k",
+                "pr50k3_full_precision", "pr50k3_full_recall"):
         assert key in out and np.isfinite(out[key])
     rec = json.loads(
         (workdir / "metric_runs" / "metric-fid50k_full.jsonl")

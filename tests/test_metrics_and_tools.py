@@ -5,7 +5,10 @@ import jax
 import jax.numpy as jnp
 
 from ic_gan_tpu.eval.metrics import (
+    _METRICS,
+    _ppl_prepare_images,
     calc_metric,
+    compute_ppl,
     is_valid_metric,
     kid_from_features,
     list_metrics,
@@ -16,8 +19,18 @@ from ic_gan_tpu.parallel.stats import Collector, report
 
 
 def test_metric_registry():
-    for name in ("fid50k_full", "kid50k_full", "is50k", "pr50k3", "ppl2_wend"):
+    """All 12 reference registrations (``metric_main.py:98-241``) with their
+    real-side sample caps."""
+    caps = {
+        "fid50k_full": None, "kid50k_full": 1000000, "pr50k3_full": 200000,
+        "ppl2_wend": 0, "is50k": 0,
+        "fid50k": 50000, "kid50k": 50000, "pr50k3": 50000,
+        "ppl_zfull": 0, "ppl_wfull": 0, "ppl_zend": 0, "ppl_wend": 0,
+    }
+    assert set(list_metrics()) == set(caps)
+    for name, cap in caps.items():
         assert is_valid_metric(name)
+        assert _METRICS[name].max_real == cap
     assert not is_valid_metric("nope")
 
 
@@ -54,6 +67,169 @@ def test_ppl_linear_generator_constant():
 
     val = ppl_w(synth, map_ws, z_dim=8, num_samples=64, batch=16, space="w")
     assert np.isfinite(val) and val > 0
+
+
+def test_ppl_prepare_images_matches_reference_math():
+    """Crop/downsample/grayscale conditioning vs an independent NCHW mirror
+    of the reference lines (``perceptual_path_length.py:85-107``)."""
+    rng = np.random.RandomState(0)
+    for H, C, crop in [(512, 3, True), (512, 1, False), (16, 3, True),
+                       (256, 3, False)]:
+        nchw = rng.randn(2, C, H, H).astype(np.float32)
+        # Reference math, NCHW:
+        exp = nchw
+        if crop:
+            c = H // 8
+            exp = exp[:, :, c * 3 : c * 7, c * 2 : c * 6]
+        factor = exp.shape[2] // 256
+        if factor > 1:
+            b, ch, h, w = exp.shape
+            exp = exp.reshape(b, ch, h // factor, factor, w // factor,
+                              factor).mean(axis=(3, 5))
+        if C == 1:
+            exp = np.repeat(exp, 3, axis=1)
+        got = np.asarray(_ppl_prepare_images(
+            jnp.asarray(nchw.transpose(0, 2, 3, 1)), crop))
+        np.testing.assert_allclose(got, exp.transpose(0, 2, 3, 1), atol=1e-5)
+
+
+def test_compute_ppl_end_sampling_and_shared_noise_rng():
+    """sampling="end" pins t=0 (wt0 == w0, ref ``:56-58``) and a synth taking
+    ``rng=`` gets the SAME key for both endpoints of a pair (the reference
+    re-randomizes noise_const once per batched forward, ``:75-78``)."""
+    mapped, synth_in, keys = [], [], []
+
+    def map_ws(z):
+        mapped.append(np.asarray(z))
+        return z[:, None, :]
+
+    def synth(ws, rng=None):
+        synth_in.append(np.asarray(ws))
+        keys.append(np.asarray(jax.random.key_data(rng)))
+        return jnp.broadcast_to(ws[:, 0, :1, None, None], (ws.shape[0], 8, 8, 1))
+
+    compute_ppl(synth, map_ws, z_dim=6, num_samples=8, batch=4,
+                space="w", sampling="end")
+    assert len(mapped) == 4 and len(synth_in) == 4  # 2 batches x 2 calls
+    # Pair 0: wt0 == w0 exactly at t=0.
+    np.testing.assert_array_equal(synth_in[0][:, 0], mapped[0])
+    # Same noise key within a pair, fresh across batches.
+    np.testing.assert_array_equal(keys[0], keys[1])
+    np.testing.assert_array_equal(keys[2], keys[3])
+    assert not np.array_equal(keys[0], keys[2])
+
+
+def test_compute_ppl_crop_isolates_center():
+    """crop=True must score only the 3c:7c / 2c:6c window: a generator whose
+    variation lives outside that window has ~0 cropped PPL."""
+    def map_ws(z):
+        return z[:, None, :]
+
+    def synth(ws):
+        # Border pixels carry the latent; the crop window (rows 6:14,
+        # cols 4:12 at 16^2) is constant.
+        val = ws[:, 0, :1]
+        img = jnp.zeros((ws.shape[0], 16, 16, 3))
+        img = img.at[:, :4, :, :].set(val[:, :, None, None])
+        return img
+
+    cropped = compute_ppl(synth, map_ws, z_dim=6, num_samples=16, batch=8,
+                          space="w", sampling="end", crop=True)["ppl"]
+    uncropped = compute_ppl(synth, map_ws, z_dim=6, num_samples=16, batch=8,
+                            space="w", sampling="end", crop=False)["ppl"]
+    assert cropped == 0.0
+    assert uncropped > 1.0
+
+
+def test_ppl_pixel_fallback_labeled_and_warned():
+    import warnings
+
+    import ic_gan_tpu.eval.metrics as M
+
+    M._warned_pixel_ppl = False
+    def map_ws(z):
+        return z[:, None, :]
+
+    def synth(ws):
+        return jnp.broadcast_to(ws[:, 0, :1, None, None],
+                                (ws.shape[0], 8, 8, 1))
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = compute_ppl(synth, map_ws, z_dim=6, num_samples=8, batch=8)
+    assert out["ppl_distance"] == "pixel"
+    assert any("pixel-space" in str(w.message) for w in rec)
+    # With a feature_fn it is labeled lpips and silent.
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = compute_ppl(synth, map_ws, z_dim=6, num_samples=8, batch=8,
+                          feature_fn=lambda img: img.reshape(img.shape[0], -1))
+    assert out["ppl_distance"] == "lpips"
+    assert not rec
+
+
+def test_ppl_registry_entries_pin_reference_args(monkeypatch):
+    """Each PPL registration must pass the exact (sampling, space, crop)
+    combination from ``metric_main.py:129-241``."""
+    import ic_gan_tpu.eval.metrics as M
+
+    seen = {}
+
+    def fake(g_synthesize, map_ws, z_dim, sampling, space, crop, **kw):
+        seen.update(sampling=sampling, space=space, crop=crop)
+        return {"ppl": 1.0, "ppl_distance": "pixel"}
+
+    monkeypatch.setattr(M, "compute_ppl", fake)
+    expect = {
+        "ppl2_wend": ("end", "w", False),
+        "ppl_zfull": ("full", "z", True),
+        "ppl_wfull": ("full", "w", True),
+        "ppl_zend": ("end", "z", True),
+        "ppl_wend": ("end", "w", True),
+    }
+    for name, (sampling, space, crop) in expect.items():
+        out = calc_metric(name, g_synthesize=None, map_ws=None, z_dim=4)
+        assert out[name] == 1.0 and out["ppl_distance"] == "pixel"
+        assert (seen["sampling"], seen["space"], seen["crop"]) == \
+            (sampling, space, crop), name
+
+
+def _fake_eval_stack(seed=0, dim=8):
+    """sample_fn/evaluator pair whose pool features are iid N(0,1)."""
+    rng = np.random.RandomState(seed)
+
+    def sample_fn(b):
+        return rng.randn(b, 4, 4, 3).astype(np.float32), None
+
+    def evaluator(imgs):
+        b = imgs.shape[0]
+        return rng.randn(b, dim).astype(np.float32), \
+            rng.randn(b, 10).astype(np.float32)
+
+    return sample_fn, evaluator
+
+
+def test_legacy_fid50k_same_distribution_near_zero():
+    """fid50k computes real moments from capped features (ref
+    ``metric_main.py:158-162``) — identical distributions give FID ~ 0."""
+    sample_fn, evaluator = _fake_eval_stack()
+    real = np.random.RandomState(1).randn(512, 8)
+    out = calc_metric("fid50k", sample_fn=sample_fn, evaluator=evaluator,
+                      real_features=real, num_images=512, batch=128)
+    assert out["fid50k"] < 0.5
+
+
+def test_legacy_kid_and_pr_full_entries_run():
+    sample_fn, evaluator = _fake_eval_stack()
+    real = np.random.RandomState(1).randn(256, 8)
+    out = calc_metric("kid50k", sample_fn=sample_fn, evaluator=evaluator,
+                      real_features=real, num_images=256, batch=128,
+                      num_subsets=5, max_subset_size=64)
+    assert abs(out["kid50k"]) < 0.5
+    out = calc_metric("pr50k3_full", sample_fn=sample_fn, evaluator=evaluator,
+                      real_features=real, num_images=256, batch=128)
+    assert 0.0 <= out["pr50k3_full_precision"] <= 1.0
+    assert 0.0 <= out["pr50k3_full_recall"] <= 1.0
 
 
 def test_training_stats_collector():

@@ -116,7 +116,9 @@ def test_calc_metrics_conditional_stylegan2(tmp_path):
 
     out = calc_metrics.main(_argv({
         "backbone": "stylegan2", "network_pkl": str(pkl),
-        "metrics": "is50k, ppl2_wend",  # comma-space: names get stripped
+        # comma-space: names get stripped; ppl_wend exercises the legacy
+        # crop+wend registration (ref metric_main.py:232-241).
+        "metrics": "is50k, ppl2_wend, ppl_wend",
         "resolution": RES, "data_root": str(tmp_path), "k_nn": K,
         "feature_extractor": "selfsupervised",
         "num_inception_images": 8, "ppl_num_samples": 4,
@@ -124,6 +126,8 @@ def test_calc_metrics_conditional_stylegan2(tmp_path):
     }))
     assert np.isfinite(out["is50k_mean"])
     assert np.isfinite(out["ppl2_wend"])
+    assert np.isfinite(out["ppl_wend"])
+    assert out["ppl_distance"] == "pixel"  # no VGG weights in this env
 
 
 def test_projector_cli(network_pkl, tmp_path):
