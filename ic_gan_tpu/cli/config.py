@@ -279,7 +279,9 @@ def _split_train_and_data(cfg: Dict[str, Any]):
     # Global batch derivation — see split_config docstring.
     world = g("n_nodes", 1) * g("n_gpus_per_node", 1)
     trainer = TrainerConfig(
-        experiment_name=g("experiment_name", "icgan_experiment"),
+        # Auto-name from config when unset, the reference's checkpoint-dir
+        # contract (trainer.py:124-127 → name_from_config).
+        experiment_name=g("experiment_name") or name_from_config(cfg),
         weights_root=weights_root,
         logs_root=logs_root,
         num_epochs=g("num_epochs", 100),
@@ -337,6 +339,64 @@ def _split_train_and_data(cfg: Dict[str, Any]):
     if g("filter_hd", -1) != -1:
         data_kwargs["filter_hd"] = g("filter_hd")
     return train, trainer, data_kwargs
+
+
+def name_from_config(cfg: Dict[str, Any]) -> str:
+    """Auto-generate the experiment name from the config.
+
+    Reference: ``BigGAN_PyTorch/utils.py:1602-1650`` (``name_from_config``),
+    called from ``trainer.py:124-127`` whenever ``experiment_name`` is empty.
+    The fork inherits the builder from upstream BigGAN-PyTorch but drops both
+    its ``return name`` and the ``--dataset`` flag it reads, so the fork's own
+    call site actually receives ``None``; this implements the *intended*
+    contract — same tokens, same omission-at-default rules, same formats.
+    The dataset token is reconstructed as ``{I|COCO}{resolution}_hdf5``, the
+    fork's dataset/moment naming convention (``trainer.py:303-307``,
+    ``data_utils/utils.py`` hdf5 filenames).
+    """
+    g = cfg.get
+    ds_prefix = "I" if g("which_dataset", "imagenet") == "imagenet" else "COCO"
+    items = [
+        "Big%s" % g("which_train_fn", "GAN"),
+        "%s%d_hdf5" % (ds_prefix, g("resolution", 64)),
+        g("model", "BigGAN") if g("model", "BigGAN") != "BigGAN" else None,
+        "seed%d" % g("seed", 0),
+        "Gch%d" % g("G_ch", 64),
+        "Dch%d" % g("D_ch", 64),
+        "Gd%d" % g("G_depth", 1) if g("G_depth", 1) > 1 else None,
+        "Dd%d" % g("D_depth", 1) if g("D_depth", 1) > 1 else None,
+        "bs%d" % g("batch_size", 64),
+        "Gfp16" if g("G_fp16", False) else None,
+        "Dfp16" if g("D_fp16", False) else None,
+        "nDs%d" % g("num_D_steps", 2) if g("num_D_steps", 2) > 1 else None,
+        "nDa%d" % g("num_D_accumulations", 1)
+        if g("num_D_accumulations", 1) > 1 else None,
+        "nGa%d" % g("num_G_accumulations", 1)
+        if g("num_G_accumulations", 1) > 1 else None,
+        "Glr%2.1e" % g("G_lr", 5e-5),
+        "Dlr%2.1e" % g("D_lr", 2e-4),
+        "GB%3.3f" % g("G_B1", 0.0) if g("G_B1", 0.0) != 0.0 else None,
+        "GBB%3.3f" % g("G_B2", 0.999) if g("G_B2", 0.999) != 0.999 else None,
+        "DB%3.3f" % g("D_B1", 0.0) if g("D_B1", 0.0) != 0.0 else None,
+        "DBB%3.3f" % g("D_B2", 0.999) if g("D_B2", 0.999) != 0.999 else None,
+        "Gnl%s" % g("G_nl", "relu"),
+        "Dnl%s" % g("D_nl", "relu"),
+        "Ginit%s" % g("G_init", "ortho"),
+        "Dinit%s" % g("D_init", "ortho"),
+        "G%s" % g("G_param", "SN") if g("G_param", "SN") != "SN" else None,
+        "D%s" % g("D_param", "SN") if g("D_param", "SN") != "SN" else None,
+        "Gattn%s" % g("G_attn", "64") if str(g("G_attn", "64")) != "0" else None,
+        "Dattn%s" % g("D_attn", "64") if str(g("D_attn", "64")) != "0" else None,
+        "Gortho%2.1e" % g("G_ortho", 0.0) if g("G_ortho", 0.0) > 0.0 else None,
+        "Dortho%2.1e" % g("D_ortho", 0.0) if g("D_ortho", 0.0) > 0.0 else None,
+        g("norm_style", "bn") if g("norm_style", "bn") != "bn" else None,
+        "cr" if g("cross_replica", False) else None,
+        "Gshared" if g("G_shared", True) else None,
+        "hier" if g("hier", False) else None,
+        "ema" if g("ema", False) else None,
+        g("name_suffix", "") if g("name_suffix", "") else None,
+    ]
+    return "_".join(item for item in items if item is not None)
 
 
 def parse_args(argv=None) -> Dict[str, Any]:

@@ -119,3 +119,72 @@ def test_sn_bn_eps_and_sv_counts_plumb_to_model():
     du = {p: v.shape for p, v in flatten_dict(dvs["sn"]).items()
           if p[-1] == "u"}
     assert du and all(s[0] == 3 for s in du.values()), du
+
+
+# --- experiment auto-naming (ref utils.py:1602-1650) ------------------------
+
+
+def _reference_name_oracle(cfg):
+    """Run the reference's own name builder as the oracle.
+
+    The fork's ``name_from_config`` builds ``name`` but drops the upstream
+    ``return name`` (and the ``--dataset`` flag it reads), so we exec its
+    source with the return restored and ``dataset`` supplied the way the
+    fork derives dataset/moment names ({I|COCO}{res}_hdf5,
+    ``trainer.py:303-307``).
+    """
+    import inspect
+    import sys
+    import textwrap
+    import types
+
+    # The reference utils.py imports torchvision (absent here) at module
+    # scope for its data-loader helpers; stub it — name building needs none
+    # of it.
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.datasets"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.path.insert(0, "/root/reference/BigGAN_PyTorch")
+    try:
+        import utils as ref_utils
+    finally:
+        sys.path.pop(0)
+    src = textwrap.dedent(inspect.getsource(ref_utils.name_from_config))
+    assert "return" not in src  # the fork quirk this oracle patches around
+    ns = {}
+    exec(src + "\n    return name\n", ns)
+
+    # Reference parser defaults overlaid with the JSON (run.py:30-43).
+    parser = ref_utils.prepare_parser()
+    full = vars(parser.parse_args([]))
+    full.update(cfg)
+    prefix = "I" if full.get("which_dataset", "imagenet") == "imagenet" else "COCO"
+    full["dataset"] = "%s%d_hdf5" % (prefix, full.get("resolution", 64))
+    return ns["name_from_config"](full)
+
+
+@pytest.mark.parametrize(
+    "path",
+    [p for p in BIGGAN_JSONS if "IC-GAN" in p or "BigGAN" in p][:6],
+    ids=lambda p: p.split("/")[-1],
+)
+def test_experiment_autoname_matches_reference(path):
+    from ic_gan_tpu.cli.config import name_from_config
+
+    with open(path) as f:
+        cfg = json.load(f)
+    assert name_from_config(cfg) == _reference_name_oracle(cfg)
+
+
+def test_autoname_used_when_experiment_name_unset():
+    from ic_gan_tpu.cli.config import name_from_config
+
+    with open(BIGGAN_JSONS[0]) as f:
+        cfg = json.load(f)
+    cfg.pop("experiment_name", None)
+    _, _, trainer, _ = split_config(cfg)
+    assert trainer.experiment_name == name_from_config(cfg)
+    # Explicit names still win (trainer.py:124-127).
+    cfg["experiment_name"] = "explicit"
+    _, _, trainer, _ = split_config(cfg)
+    assert trainer.experiment_name == "explicit"
