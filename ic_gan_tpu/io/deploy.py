@@ -301,14 +301,30 @@ def export_sampler(
 
 
 def _sampler_signature(g_module, variables, batch_size):
+    """(z, label/c, feats) avals for the export trace; zero-width
+    placeholders stand in for absent conditioning (the loaded sampler
+    re-materializes them so callers can pass ``None``).
+
+    BigGAN conditions on integer class labels + 2048-d instance features
+    (``BigGANConfig.class_cond/instance_cond``); StyleGAN2 on float one-hot
+    ``c`` (c_dim) + instance ``h`` (h_dim) vectors
+    (``models/stylegan2.py:MappingNetwork``)."""
     cfg = g_module.cfg
-    sig = [((batch_size, cfg.effective_dim_z), jnp.float32)]
-    n_label = (batch_size,) if getattr(cfg, "class_cond", False) else None
-    sig.append(((batch_size,), jnp.int32) if n_label else ((batch_size, 0), jnp.int32))
-    inst = getattr(cfg, "instance_cond", False)
-    sig.append(((batch_size, cfg.instance_sz), jnp.float32) if inst
-               else ((batch_size, 0), jnp.float32))
-    return sig
+    if hasattr(cfg, "effective_dim_z"):  # BigGAN / BigGAN-deep
+        sig = [((batch_size, cfg.effective_dim_z), jnp.float32)]
+        n_label = (batch_size,) if getattr(cfg, "class_cond", False) else None
+        sig.append(((batch_size,), jnp.int32) if n_label
+                   else ((batch_size, 0), jnp.int32))
+        inst = getattr(cfg, "instance_cond", False)
+        sig.append(((batch_size, cfg.instance_sz), jnp.float32) if inst
+                   else ((batch_size, 0), jnp.float32))
+        return sig
+    # StyleGAN2 (ref networks.py:710-757 signature order z, c, feats)
+    return [
+        ((batch_size, cfg.z_dim), jnp.float32),
+        ((batch_size, cfg.c_dim), jnp.float32),
+        ((batch_size, cfg.h_dim), jnp.float32),
+    ]
 
 
 def load_exported_sampler(data: bytes) -> Callable:

@@ -63,3 +63,35 @@ def test_export_class_conditional():
     # different labels change the output (conditioning is live in the export)
     got2 = np.asarray(sampler(z, np.asarray([3, 4], np.int32), feats))
     assert np.abs(got - got2).max() > 1e-4
+
+
+def test_export_stylegan2_backbone():
+    """SG2 export: noise consts baked, noise_mode=const, IC-GAN h
+    conditioning live (ref networks.py:710-757 signature z, c, feats)."""
+    from ic_gan_tpu.models.stylegan2 import Generator as SG2Generator
+    from ic_gan_tpu.models.stylegan2 import StyleGAN2Config
+
+    cfg = StyleGAN2Config(img_resolution=32, z_dim=16, c_dim=0, h_dim=24,
+                          w_dim=16, channel_base=1024, channel_max=64,
+                          num_mapping_layers=2, num_fp16_res=0)
+    g = SG2Generator(cfg)
+    z = jnp.zeros((2, cfg.z_dim))
+    feats = jnp.zeros((2, cfg.h_dim))
+    variables = jax.jit(
+        lambda: g.init(jax.random.PRNGKey(0), z, None, feats))()
+
+    data = export_sampler(g, variables, batch_size=2, noise_mode="const")
+    assert isinstance(data, bytes) and len(data) > 1000
+    sampler = load_exported_sampler(data)
+
+    rng = np.random.RandomState(2)
+    z = rng.randn(2, cfg.z_dim).astype(np.float32)
+    feats = rng.randn(2, cfg.h_dim).astype(np.float32)
+    got = np.asarray(sampler(z, feats=feats))
+    want = make_sampler(g, variables, batch_size=2, noise_mode="const")(
+        z, None, feats)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert got.shape == (2, 32, 32, 3)
+    # conditioning is live in the export
+    got2 = np.asarray(sampler(z, feats=feats + 1.0))
+    assert np.abs(got - got2).max() > 1e-4
