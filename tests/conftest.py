@@ -23,5 +23,9 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# ICGAN_TPU_TESTS=1 leaves the ambient (real-TPU) backend in place for the
+# `-m tpu` hardware-pin suite (tests/test_tpu_hardware.py); everything else
+# runs on the virtual CPU mesh.
+if os.environ.get("ICGAN_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
