@@ -80,7 +80,8 @@ def main(argv=None):
     if needs_inception:
         from ic_gan_tpu.eval.pipeline import InceptionEvaluator
 
-        evaluator = InceptionEvaluator(cfg.get("inception_weights"))
+        evaluator = InceptionEvaluator(cfg.get("inception_weights"),
+                                       deploy_bf16=cfg.get("eval_bf16", False))
     sample = make_conditioned_sampler(cfg, apply_fn, model_cfg, dataset)
 
     real_cache: Dict[object, np.ndarray] = {}

@@ -82,6 +82,7 @@ CONSUMED_KEYS = {
     "backbone", "pth_dir", "network_pkl", "suffix", "which_model",
     "deploy_bf16", "truncation_psi", "noise_mode", "standing_batch_size",
     "inception_weights", "data_path", "swap_target", "out_path",
+    "eval_bf16", "fused_eval",
     "eval_metrics", "profile_dir", "eval_batch_size", "image_root",
     "metrics_out", "npz_path", "num_conditionings_gen", "num_imgs_gen",
     "prdc_ref_images", "prdc_nearest_k", "stored_features", "stored_labels",

@@ -213,6 +213,11 @@ def load_model_inference(cfg: Dict[str, Any]):
         fn.module = g
         fn.variables = vs
         fn.model_cfg = model_cfg
+        # Deployment internals (σ-folded/cast variables, apply kwargs) for
+        # the fused eval loop — propagate past the SG2 label wrapper.
+        fn.prepared_variables = raw.prepared_variables
+        fn.apply_kwargs = raw.apply_kwargs
+        fn.batch_size = raw.batch_size
 
         def with_standing_stats(sample_conditioning):
             from ic_gan_tpu.io.deploy import fold_spectral_norm
@@ -304,7 +309,9 @@ def make_conditioned_sampler(
 
     np_rng = np.random.default_rng(cfg.get("seed", 0))
 
-    def sample(b):
+    def draw(b):
+        """One conditioning/z draw: ``(z, lab_in, f_in, labels)`` with
+        device-ready model inputs and host labels (for stratified eval)."""
         counter[0] += 1
         rng = jax.random.PRNGKey(cfg.get("seed", 0) + counter[0])
         labels = feats = None
@@ -356,6 +363,10 @@ def make_conditioned_sampler(
             jnp.asarray(feats)
             if instance_cond and feats is not None else None
         )
+        return z, lab_in, f_in, labels
+
+    def sample(b):
+        z, lab_in, f_in, labels = draw(b)
         # device_output: images feed straight into the on-device Inception
         # pass — fetching them to host costs ~100 MB/batch over the relay
         # tunnel and dominated the eval loop.
@@ -365,7 +376,32 @@ def make_conditioned_sampler(
     sample.class_cond = class_cond
     sample.instance_cond = instance_cond
     sample.dim_z = dim_z
+    sample.draw = draw
+    sample.apply_fn = apply_fn
     return sample
+
+
+def make_conditioned_feature_fn(sample, evaluator):
+    """Fused eval-loop feature source: one executable runs generator →
+    Inception per batch (``eval.pipeline.make_fused_feature_fn``), fed by
+    the conditioned sampler's draw.  Returns
+    ``feature_fn(b) -> (pool, logits, labels)`` for
+    ``evaluate_generator(feature_fn=...)``; falls back to ``None`` when the
+    wrapped sampler does not expose deployment internals (e.g. a bare
+    callable in tests)."""
+    from ic_gan_tpu.eval.pipeline import make_fused_feature_fn
+
+    apply_fn = getattr(sample, "apply_fn", None)
+    if apply_fn is None or not hasattr(apply_fn, "prepared_variables"):
+        return None
+    fused = make_fused_feature_fn(apply_fn, evaluator)
+
+    def feature_fn(b):
+        z, lab_in, f_in, labels = sample.draw(b)
+        pool, logits = fused(z, lab_in, f_in)
+        return pool, logits, labels if sample.class_cond else None
+
+    return feature_fn
 
 
 def stored_instances_path(root_path: str, which_dataset: str,

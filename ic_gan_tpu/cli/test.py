@@ -53,7 +53,12 @@ def main(argv=None):
             ),
         )
     )
-    evaluator = InceptionEvaluator(cfg.get("inception_weights"))
+    # eval_bf16: bf16 Inception trunk (models/inception.py deployment
+    # mode) — ~1.8x the Inception pass for ~1% relative pool drift
+    # (benchmarks/results/eval_fid.json: pool_drift_rel/fid_between_modes);
+    # keep False when comparing FIDs against f32-evaluated baselines at <1%.
+    evaluator = InceptionEvaluator(cfg.get("inception_weights"),
+                                   deploy_bf16=cfg.get("eval_bf16", False))
 
     if cfg.get("accumulate_stats", False) and cfg.get(
         "backbone", "biggan"
@@ -109,6 +114,16 @@ def main(argv=None):
             batch=cfg.get("eval_batch_size", 64),
         )
 
+    # Fused generator→Inception executable (one dispatch per batch; the
+    # split loop leaves ~30% of the relay throughput on the floor —
+    # eval/pipeline.make_fused_feature_fn).  fused_eval=False restores the
+    # two-stage loop.
+    feature_fn = None
+    if cfg.get("fused_eval", True):
+        from ic_gan_tpu.cli.inference import make_conditioned_feature_fn
+
+        feature_fn = make_conditioned_feature_fn(sample, evaluator)
+
     metrics = evaluate_generator(
         sample,
         evaluator,
@@ -120,6 +135,7 @@ def main(argv=None):
         prdc_nearest_k=cfg.get("prdc_nearest_k", 5),
         stratified=stratified,
         samples_per_class=samples_per_class,
+        feature_fn=feature_fn,
     )
     print({k: round(float(v), 4) for k, v in metrics.items()})
 

@@ -130,7 +130,8 @@ def main(argv=None):
                                  cfg.get("longtail", False)),
             )
             ref_moments = np.load(moments_path)  # raises if missing
-            evaluator = InceptionEvaluator(cfg.get("inception_weights"))
+            evaluator = InceptionEvaluator(cfg.get("inception_weights"),
+                                           deploy_bf16=cfg.get("eval_bf16", False))
 
             def eval_fn(tr):
                 import jax.random as jr

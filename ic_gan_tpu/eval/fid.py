@@ -155,3 +155,35 @@ def compute_fid_from_moments(
     fake: FeatureMoments, ref_mu: np.ndarray, ref_sigma: np.ndarray
 ) -> float:
     return frechet_distance(fake.mean, fake.cov, ref_mu, ref_sigma)
+
+
+@functools.partial(jax.jit, static_argnames=("num_splits", "num_iters"))
+def fid_is_device(pool, logits, ref_mu, ref_sigma, num_splits: int = 10,
+                  num_iters: int = 50):
+    """The whole eval metric tail as ONE device executable: pool features →
+    (mu, sigma) → FID vs reference moments, plus IS over the logits.
+
+    Un-jitted, the tail is ~30 eager dispatches (moment matmul, Newton-
+    Schulz, 10 IS splits) each paying relay round-trip latency, plus a 16 MB
+    covariance fetch — ~3 s on a 10 s/10k eval loop.  Fused, three scalars
+    cross the link.  The Newton-Schulz→eigh fallback for rank-deficient
+    covariances runs as a lax.cond, so the singular case stays on device
+    too.  Returns (fid, is_mean, is_std) as device scalars.
+    """
+    p = pool.astype(jnp.float32)
+    n = p.shape[0]
+    mu = jnp.mean(p, axis=0)
+    diff0 = p - mu
+    sigma = diff0.T @ diff0 / (n - 1)
+    mu2 = jnp.asarray(ref_mu, jnp.float32)
+    s2 = jnp.asarray(ref_sigma, jnp.float32)
+    diff = mu - mu2
+    covmean = sqrtm_newton_schulz(sigma @ s2, num_iters)
+    tr = jnp.trace(covmean)
+    tr = jax.lax.cond(
+        jnp.isfinite(tr), lambda: tr,
+        lambda: _tr_sqrtm_psd_pair(sigma, s2),
+    )
+    fid = jnp.dot(diff, diff) + jnp.trace(sigma) + jnp.trace(s2) - 2.0 * tr
+    is_mean, is_std = inception_score_device(logits, num_splits)
+    return fid, is_mean, is_std

@@ -58,8 +58,16 @@ class InceptionEvaluator:
     """
 
     def __init__(self, weights_path: Optional[str] = None, batch: int = 64,
-                 mesh=None):
-        self.net = InceptionV3()
+                 mesh=None, deploy_bf16: bool = False):
+        # deploy_bf16: compute the conv trunk in bfloat16 on the MXU (params
+        # stay f32; BN folding and the pool/logits head stay f32 — see
+        # models/inception.py).  ~1.8× the Inception pass on the v5e
+        # (≈22 → 12 ms per 128 images at 256², i.e. +5% on the fused
+        # generator→Inception loop where the generator dominates) for ~2%
+        # relative pool-feature drift; drift measured in FID units by
+        # benchmarks/bench_eval_fid.py (fid_between_modes).
+        self.net = InceptionV3(
+            dtype=jnp.bfloat16 if deploy_bf16 else jnp.float32)
         self.batch = batch
         if weights_path and os.path.exists(weights_path):
             import torch
@@ -212,6 +220,62 @@ def cached_real_features(
     return pool
 
 
+def make_fused_feature_fn(sampler, evaluator: InceptionEvaluator,
+                          batch: Optional[int] = None) -> Callable:
+    """Fuse the deployment sampler's generator forward with the Inception
+    forward into ONE jitted executable.
+
+    ``sampler`` must come from ``io.deploy.make_sampler`` (it exposes
+    ``module`` / ``prepared_variables`` / ``apply_kwargs``).  Returns
+    ``feature_fn(z, label=None, feats=None) -> (pool, logits)`` with
+    device-resident outputs.
+
+    Why: the eval loop's two-dispatch form (sample → Inception) pays an
+    extra executable launch per batch on the relay backend; fused, the
+    10k-image feature loop runs at the compiled op-sum ceiling —
+    measured ~995 img/s vs ~722 split (benchmarks/results/eval_fid.json),
+    i.e. the generator's own 1137 img/s roofline share plus Inception's
+    bf16 ~12 ms/128, with zero loop overhead left.
+    """
+    g = sampler.module
+    gv = sampler.prepared_variables
+    apply_kwargs = sampler.apply_kwargs
+    inet, iv = evaluator.net, evaluator.variables
+    bs = batch or sampler.batch_size
+
+    @jax.jit
+    def fwd(gv, iv, z, label, feats):
+        imgs = g.apply(gv, z, label, feats, train=False, **apply_kwargs)
+        return inet.apply(iv, imgs)
+
+    def _pad(a, pad):
+        if a is None or pad == 0:
+            return a
+        return jnp.concatenate([jnp.asarray(a), jnp.asarray(a)[:1].repeat(
+            pad, axis=0)])
+
+    def feature_fn(z, label=None, feats=None):
+        z = jnp.asarray(z)
+        n = z.shape[0]
+        chunk = bs or n
+        outs = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            pad = chunk - (hi - lo)
+            pool, logits = fwd(
+                gv, iv, _pad(z[lo:hi], pad),
+                None if label is None else _pad(label[lo:hi], pad),
+                None if feats is None else _pad(feats[lo:hi], pad),
+            )
+            outs.append((pool[: hi - lo], logits[: hi - lo]))
+        if len(outs) == 1:
+            return outs[0]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
+
+    return feature_fn
+
+
 def evaluate_generator(
     sample_fn: Callable[[int], Tuple[np.ndarray, Optional[np.ndarray]]],
     evaluator: InceptionEvaluator,
@@ -224,62 +288,74 @@ def evaluate_generator(
     prdc_nearest_k: int = 5,
     stratified: Optional[Dict] = None,
     samples_per_class: Optional[np.ndarray] = None,
+    feature_fn: Optional[Callable] = None,
 ) -> Dict[str, float]:
     """Full quantitative eval (ref ``inception_utils.py:342-455`` +
     ``compute_pdrc.py``): IS over 10 splits, FID vs reference moments,
     optional PRDC and stratified FID.
 
     ``sample_fn(batch) -> (images NHWC [-1,1], labels or None)``.
+    ``feature_fn(batch) -> (pool, logits, labels)`` (see
+    ``make_fused_feature_fn`` / ``cli.inference.make_conditioned_feature_fn``)
+    replaces the sample→Inception pair with one fused executable; when given,
+    ``sample_fn`` is unused and ``evaluator`` only provides the device-output
+    capability flag.
     """
     keep_pools = prdc_ref_features is not None or stratified is not None
     device = bool(getattr(evaluator, "supports_device_output", False))
     logits_all, labels_all, pools_all = [], [], []
 
+    def next_batch(b):
+        if feature_fn is not None:
+            return feature_fn(b)
+        imgs, labels = sample_fn(b)
+        pool, logits = evaluator(jnp.asarray(imgs), device_output=device)
+        return pool, logits, labels
+
     if device:
-        # Fully asynchronous loop: moments accumulate on device (per-batch
-        # MXU outer products + one running f32 add — 79 sequential adds keep
-        # f32 exact to ~1e-5) and nothing syncs to host until the end.  Each
-        # per-batch host fetch costs ~180 ms round-trip on the relay backend
-        # and serializes the device pipeline (measured 103 → ~900 img/s).
-        dim = 2048
-
-        @jax.jit
-        def _acc(s, o, pool):
-            p = pool.astype(jnp.float32)
-            return s + jnp.sum(p, axis=0), o + p.T @ p
-
-        s = jnp.zeros((dim,), jnp.float32)
-        o = jnp.zeros((dim, dim), jnp.float32)
-        n_total = 0
+        # Fully asynchronous loop: pools/logits stay device-resident and
+        # nothing syncs to host until the end (each per-batch host fetch
+        # costs ~180 ms round-trip on the relay backend and serializes the
+        # pipeline — measured 103 → ~900 img/s).  The entire metric tail
+        # (moments → Newton-Schulz FID → 10-split IS) then runs as ONE
+        # jitted executable over the concatenated device buffers
+        # (eval.fid.fid_is_device): interleaving per-batch accumulator
+        # launches with the feature executable stalls the relay dispatch
+        # pipeline, and an eager tail pays per-op round trips plus a 16 MB
+        # covariance fetch.  Only three scalars cross the link; the
+        # device-resident pool buffer is 82 MB per 10k images.
+        device_pools = []
         remaining = num_images
         while remaining > 0:
             b = min(batch, remaining)
-            imgs, labels = sample_fn(b)
-            pool, logits = evaluator(jnp.asarray(imgs), device_output=True)
-            s, o = _acc(s, o, pool)
-            n_total += b
+            pool, logits, labels = next_batch(b)
             logits_all.append(logits)
-            if keep_pools:
-                pools_all.append(pool)
+            device_pools.append(pool)
             if labels is not None:
                 labels_all.append(np.asarray(labels))
             remaining -= b
-        s64 = np.asarray(s, np.float64)
-        o64 = np.asarray(o, np.float64)
-        mu = s64 / n_total
-        sigma = (o64 - n_total * np.outer(mu, mu)) / (n_total - 1)
-        # IS runs on device over the concatenated logits — the 50k×1000
-        # tensor (~200 MB) never crosses the relay link; only two scalars do.
+
+        from ic_gan_tpu.eval.fid import fid_is_device
+
+        pool_cat = jnp.concatenate(device_pools)
         logits_cat = jnp.concatenate(logits_all)
+        fid_d, is_m, is_s = fid_is_device(
+            pool_cat, logits_cat,
+            jnp.asarray(ref_mu, jnp.float32),
+            jnp.asarray(ref_sigma, jnp.float32),
+            num_splits=num_splits,
+        )
         if keep_pools:
-            pools_all = [np.asarray(jnp.concatenate(pools_all))]
+            pools_all = [np.asarray(pool_cat)]
+        fid, is_mean, is_std = float(fid_d), float(is_m), float(is_s)
+        del device_pools, pool_cat, logits_cat
     else:
         moments = FeatureMoments(2048)
         remaining = num_images
         while remaining > 0:
             b = min(batch, remaining)
-            imgs, labels = sample_fn(b)
-            pool, logits = evaluator(jnp.asarray(imgs))
+            pool, logits, labels = next_batch(b)
+            pool, logits = np.asarray(pool), np.asarray(logits)
             moments.update(pool)
             logits_all.append(logits)
             if keep_pools:
@@ -289,15 +365,9 @@ def evaluate_generator(
             remaining -= b
         logits_cat = np.concatenate(logits_all)
         mu, sigma = moments.mean, moments.cov
-
-    if device:
-        from ic_gan_tpu.eval.fid import inception_score_device
-
-        m_, s_ = inception_score_device(logits_cat, num_splits=num_splits)
-        is_mean, is_std = float(m_), float(s_)
-    else:
         is_mean, is_std = inception_score(logits_cat, num_splits=num_splits)
-    fid = frechet_distance(mu, sigma, ref_mu, ref_sigma)
+        fid = frechet_distance(mu, sigma, ref_mu, ref_sigma)
+
     out = {"IS_mean": is_mean, "IS_std": is_std, "FID": fid}
 
     if stratified is not None and labels_all and samples_per_class is not None:
@@ -341,7 +411,8 @@ def make_train_eval_fn(cfg: Dict):
     if not os.path.exists(path):
         raise FileNotFoundError(f"reference moments not found: {path}")
     ref = np.load(path)
-    evaluator = InceptionEvaluator(cfg.get("inception_weights"))
+    evaluator = InceptionEvaluator(cfg.get("inception_weights"),
+                                   deploy_bf16=cfg.get("eval_bf16", False))
     num_images = cfg.get("num_inception_images", 50000)
     eval_batch = cfg.get("eval_batch_size", 64)
 

@@ -254,6 +254,15 @@ def make_sampler(
             return outs[0]
         return jnp.concatenate(outs) if device_output else np.concatenate(outs)
 
+    # Deployment internals for consumers that fuse further stages into the
+    # same executable (eval/pipeline.make_fused_feature_fn runs Inception on
+    # the generator output inside ONE jit — on the relay backend each extra
+    # executable launch costs real latency).
+    sampler.module = g_module
+    sampler.prepared_variables = variables
+    sampler.apply_kwargs = dict(apply_kwargs)
+    sampler.batch_size = batch_size
+    sampler.batch_sharding = batch_sharding
     return sampler
 
 

@@ -27,6 +27,7 @@ class BasicConv2d(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
     padding: Any = (0, 0)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -37,18 +38,21 @@ class BasicConv2d(nn.Module):
             pad = ((pad[0], pad[0]), (pad[1], pad[1]))
         x = nn.Conv(
             self.features, self.kernel_size, strides=self.strides, padding=pad,
-            use_bias=False, name="conv",
+            use_bias=False, name="conv", dtype=self.dtype,
         )(x)
         # Eval-mode BN folded as affine with stored stats.  eps=1e-3 is
         # torchvision's BasicConv2d BatchNorm2d(eps=0.001)
         # (torchvision/models/inception.py BasicConv2d) — NOT the 1e-5
         # default; using 1e-5 shifts FID.  Golden-pinned by
-        # tests/test_inception_graph.py.
+        # tests/test_inception_graph.py.  Under bf16 deployment the
+        # scale/shift fold still happens in f32 (params are stored f32) and
+        # only the final affine runs in the compute dtype.
         mean = self.param("bn_mean", nn.initializers.zeros, (self.features,))
         var = self.param("bn_var", nn.initializers.ones, (self.features,))
         gamma = self.param("bn_weight", nn.initializers.ones, (self.features,))
         beta = self.param("bn_bias", nn.initializers.zeros, (self.features,))
-        x = (x - mean) * jax.lax.rsqrt(var + 1e-3) * gamma + beta
+        scale = gamma * jax.lax.rsqrt(var + 1e-3)
+        x = x * scale.astype(x.dtype) + (beta - mean * scale).astype(x.dtype)
         return jax.nn.relu(x)
 
 
@@ -71,16 +75,17 @@ def _maxpool3s2(x):
 
 class InceptionA(nn.Module):
     pool_features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
-        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
-        b5 = BasicConv2d(64, (5, 5), padding=2, name="branch5x5_2")(b5)
-        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
-        b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2")(b3)
-        b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_3")(b3)
-        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1", dtype=self.dtype)(x)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1", dtype=self.dtype)(x)
+        b5 = BasicConv2d(64, (5, 5), padding=2, name="branch5x5_2", dtype=self.dtype)(b5)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1", dtype=self.dtype)(x)
+        b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2", dtype=self.dtype)(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_3", dtype=self.dtype)(b3)
+        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool", dtype=self.dtype)(
             _avgpool3(x)
         )
         # Concat order (1x1, 5x5, 3x3dbl, pool) = torchvision InceptionA
@@ -89,70 +94,77 @@ class InceptionA(nn.Module):
 
 
 class InceptionB(nn.Module):
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
-        b3 = BasicConv2d(384, (3, 3), strides=(2, 2), name="branch3x3")(x)
-        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
-        bd = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2")(bd)
-        bd = BasicConv2d(96, (3, 3), strides=(2, 2), name="branch3x3dbl_3")(bd)
+        b3 = BasicConv2d(384, (3, 3), strides=(2, 2), name="branch3x3", dtype=self.dtype)(x)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1", dtype=self.dtype)(x)
+        bd = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2", dtype=self.dtype)(bd)
+        bd = BasicConv2d(96, (3, 3), strides=(2, 2), name="branch3x3dbl_3", dtype=self.dtype)(bd)
         bp = _maxpool3s2(x)
         return jnp.concatenate([b3, bd, bp], axis=-1)
 
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c7 = self.channels_7x7
-        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
-        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
-        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
-        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
-        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
-        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
-        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
-        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
-        bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
-        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_avgpool3(x))
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1", dtype=self.dtype)(x)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1", dtype=self.dtype)(x)
+        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2", dtype=self.dtype)(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3", dtype=self.dtype)(b7)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1", dtype=self.dtype)(x)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2", dtype=self.dtype)(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3", dtype=self.dtype)(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4", dtype=self.dtype)(bd)
+        bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5", dtype=self.dtype)(bd)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool", dtype=self.dtype)(_avgpool3(x))
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
 class InceptionD(nn.Module):
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
-        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
-        b3 = BasicConv2d(320, (3, 3), strides=(2, 2), name="branch3x3_2")(b3)
-        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
-        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
-        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
-        b7 = BasicConv2d(192, (3, 3), strides=(2, 2), name="branch7x7x3_4")(b7)
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1", dtype=self.dtype)(x)
+        b3 = BasicConv2d(320, (3, 3), strides=(2, 2), name="branch3x3_2", dtype=self.dtype)(b3)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1", dtype=self.dtype)(x)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2", dtype=self.dtype)(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3", dtype=self.dtype)(b7)
+        b7 = BasicConv2d(192, (3, 3), strides=(2, 2), name="branch7x7x3_4", dtype=self.dtype)(b7)
         bp = _maxpool3s2(x)
         return jnp.concatenate([b3, b7, bp], axis=-1)
 
 
 class InceptionE(nn.Module):
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
-        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
-        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1", dtype=self.dtype)(x)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1", dtype=self.dtype)(x)
         b3 = jnp.concatenate(
             [
-                BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3),
-                BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3),
+                BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a", dtype=self.dtype)(b3),
+                BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b", dtype=self.dtype)(b3),
             ],
             axis=-1,
         )
-        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
-        bd = BasicConv2d(384, (3, 3), padding=1, name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1", dtype=self.dtype)(x)
+        bd = BasicConv2d(384, (3, 3), padding=1, name="branch3x3dbl_2", dtype=self.dtype)(bd)
         bd = jnp.concatenate(
             [
-                BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a")(bd),
-                BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b")(bd),
+                BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3dbl_3a", dtype=self.dtype)(bd),
+                BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3dbl_3b", dtype=self.dtype)(bd),
             ],
             axis=-1,
         )
-        bp = BasicConv2d(192, (1, 1), name="branch_pool")(_avgpool3(x))
+        bp = BasicConv2d(192, (1, 1), name="branch_pool", dtype=self.dtype)(_avgpool3(x))
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
@@ -193,44 +205,57 @@ class InceptionV3(nn.Module):
     Input: NHWC float in [-1, 1] at any resolution; internally resized to
     299² bilinear and normalized with ImageNet statistics, matching
     ``WrapInception.forward`` (``inception_utils.py:58-86``).
+
+    ``dtype=jnp.bfloat16`` is the deployment mode for the 50k-image eval
+    loops: convs/resize run in bf16 on the MXU while BN scale/shift folding,
+    the global pool, and the logits head stay f32 (params are stored f32
+    and cast at compute, flax-style).  Feature drift vs f32 is measured by
+    ``benchmarks/bench_eval_fid.py`` and pinned by
+    ``tests/test_metrics_and_tools.py::test_inception_bf16_deploy_drift``.
     """
 
     resize_input: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         mean = jnp.asarray([0.485, 0.456, 0.406])
         std = jnp.asarray([0.229, 0.224, 0.225])
-        # [-1,1] -> [0,1] -> normalized (ref :60-66).
+        # [-1,1] -> [0,1] -> normalized (ref :60-66) in input precision,
+        # then cast once to the compute dtype.
         x = (x + 1.0) / 2.0
         x = (x - mean) / std
+        x = x.astype(self.dtype)
         if self.resize_input and (x.shape[1] != 299 or x.shape[2] != 299):
             # align_corners=True to match the reference WrapInception resize
             # (inception_utils.py:59) — FID features depend on this grid.
             x = resize_bilinear_align_corners(x, 299, 299)
-        x = BasicConv2d(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)
-        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
-        x = BasicConv2d(64, (3, 3), padding=1, name="Conv2d_2b_3x3")(x)
+        x = BasicConv2d(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3", dtype=self.dtype)(x)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3", dtype=self.dtype)(x)
+        x = BasicConv2d(64, (3, 3), padding=1, name="Conv2d_2b_3x3", dtype=self.dtype)(x)
         x = _maxpool3s2(x)
-        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
-        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1", dtype=self.dtype)(x)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3", dtype=self.dtype)(x)
         x = _maxpool3s2(x)
-        x = InceptionA(32, name="Mixed_5b")(x)
-        x = InceptionA(64, name="Mixed_5c")(x)
-        x = InceptionA(64, name="Mixed_5d")(x)
-        x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(128, name="Mixed_6b")(x)
-        x = InceptionC(160, name="Mixed_6c")(x)
-        x = InceptionC(160, name="Mixed_6d")(x)
-        x = InceptionC(192, name="Mixed_6e")(x)
-        x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionA(32, name="Mixed_5b", dtype=self.dtype)(x)
+        x = InceptionA(64, name="Mixed_5c", dtype=self.dtype)(x)
+        x = InceptionA(64, name="Mixed_5d", dtype=self.dtype)(x)
+        x = InceptionB(name="Mixed_6a", dtype=self.dtype)(x)
+        x = InceptionC(128, name="Mixed_6b", dtype=self.dtype)(x)
+        x = InceptionC(160, name="Mixed_6c", dtype=self.dtype)(x)
+        x = InceptionC(160, name="Mixed_6d", dtype=self.dtype)(x)
+        x = InceptionC(192, name="Mixed_6e", dtype=self.dtype)(x)
+        x = InceptionD(name="Mixed_7a", dtype=self.dtype)(x)
+        x = InceptionE(name="Mixed_7b", dtype=self.dtype)(x)
+        x = InceptionE(name="Mixed_7c", dtype=self.dtype)(x)
         # Reference pools with F.adaptive_avg_pool2d(x, (1,1))
         # (inception_utils.py:84) == plain spatial mean; logits = fc(pool)
         # with no softmax (WrapInception returns raw logits, :87-102).
-        pool = jnp.mean(x, axis=(1, 2))  # (N, 2048)
-        logits = nn.Dense(1000, name="fc")(pool)
+        # Pool/logits head in f32 regardless of compute dtype: FID moments
+        # are quadratic in these features, bf16 pool would dominate the
+        # metric's error budget.
+        pool = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # (N, 2048)
+        logits = nn.Dense(1000, name="fc", dtype=jnp.float32)(pool)
         return pool, logits
 
 

@@ -360,3 +360,102 @@ def test_sample_and_interp_sheets():
     assert imgs_lab.shape == (2 * 4, 8, 8, 3)
     per_row = seen[0].reshape(2, 4)
     assert (per_row == per_row[:, :1]).all()
+
+
+# --- fused eval loop + bf16 Inception deployment (r4) -----------------------
+
+
+def _tiny_gen_and_evaluator():
+    from ic_gan_tpu.eval.pipeline import InceptionEvaluator
+    from ic_gan_tpu.io.deploy import make_sampler
+    from ic_gan_tpu.models.biggan import BigGANConfig, Generator
+
+    cfg = BigGANConfig(resolution=32, n_classes=10, G_ch=8, dim_z=20,
+                       G_attn="0", shared_dim=16, shared_dim_feat=24,
+                       instance_sz=32)
+    g = Generator(cfg)
+    z = jnp.zeros((4, cfg.effective_dim_z))
+    feats = jnp.zeros((4, cfg.instance_sz))
+    variables = jax.jit(
+        lambda: g.init(jax.random.PRNGKey(0), z, None, feats))()
+    sampler = make_sampler(g, variables, batch_size=4)
+    return cfg, sampler, InceptionEvaluator(batch=4)
+
+
+def test_fused_feature_fn_matches_split_path():
+    """The one-executable generator→Inception loop must produce the same
+    features as sample → evaluator (eval/pipeline.make_fused_feature_fn)."""
+    from ic_gan_tpu.eval.pipeline import make_fused_feature_fn
+
+    cfg, sampler, ev = _tiny_gen_and_evaluator()
+    fused = make_fused_feature_fn(sampler, ev)
+
+    rng = np.random.RandomState(0)
+    z = rng.randn(6, cfg.effective_dim_z).astype(np.float32)  # forces a
+    feats = rng.randn(6, cfg.instance_sz).astype(np.float32)  # padded tail
+    pool_f, logits_f = fused(z, None, feats)
+    imgs = sampler(z, None, feats)
+    pool_s, logits_s = ev(jnp.asarray(imgs))
+    np.testing.assert_allclose(np.asarray(pool_f), pool_s, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logits_f), logits_s, atol=1e-4)
+
+
+def test_evaluate_generator_feature_fn_path():
+    """evaluate_generator(feature_fn=...) must agree with the classic
+    sample_fn path on identical draws."""
+    from ic_gan_tpu.eval.pipeline import evaluate_generator, make_fused_feature_fn
+
+    cfg, sampler, ev = _tiny_gen_and_evaluator()
+    fused = make_fused_feature_fn(sampler, ev)
+
+    rng = np.random.RandomState(1)
+    ref_mu = rng.randn(2048) * 0.01
+    a = rng.randn(2048, 64)
+    ref_sigma = a @ a.T * 1e-3 + np.eye(2048)
+
+    def draws(seed):
+        r = np.random.RandomState(seed)
+        return (r.randn(4, cfg.effective_dim_z).astype(np.float32),
+                r.randn(4, cfg.instance_sz).astype(np.float32))
+
+    counter = [0]
+
+    def sample_fn(b):
+        z, feats = draws(counter[0]); counter[0] += 1
+        return sampler(z, None, feats), None
+
+    counter2 = [0]
+
+    def feature_fn(b):
+        z, feats = draws(counter2[0]); counter2[0] += 1
+        pool, logits = fused(z, None, feats)
+        return pool, logits, None
+
+    m_split = evaluate_generator(sample_fn, ev, ref_mu, ref_sigma,
+                                 num_images=8, batch=4)
+    m_fused = evaluate_generator(None, ev, ref_mu, ref_sigma,
+                                 num_images=8, batch=4,
+                                 feature_fn=feature_fn)
+    assert abs(m_split["FID"] - m_fused["FID"]) < 1e-3 * (1 + abs(m_split["FID"]))
+    assert abs(m_split["IS_mean"] - m_fused["IS_mean"]) < 1e-4
+
+
+def test_inception_bf16_deploy_drift():
+    """bf16 deployment mode (models/inception.py dtype): same weights, pool
+    features within bf16-quantization distance of the f32 trunk; the head
+    stays f32 so drift cannot compound into the FID moments at full
+    precision."""
+    from ic_gan_tpu.eval.pipeline import InceptionEvaluator
+
+    ev32 = InceptionEvaluator()
+    ev16 = InceptionEvaluator(deploy_bf16=True)
+    ev16.variables = ev32.variables  # share weights
+
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(np.tanh(rng.randn(2, 75, 75, 3)).astype(np.float32))
+    p32, l32 = ev32(imgs)
+    p16, l16 = ev16(imgs)
+    assert p16.dtype == np.float32  # f32 head regardless of trunk dtype
+    scale = np.abs(p32).mean()
+    assert np.abs(p16 - p32).max() < 0.15 * scale
+    assert np.abs(p16 - p32).mean() < 0.02 * scale
