@@ -57,6 +57,8 @@ def main():
         ("sg2_mb16_32x32_c512", 16, 32, 512, 512),
         ("sg2_mb16_128x128_c128", 16, 128, 128, 128),
         ("biggan_mb128_32x32_c384", 128, 32, 384, 384),
+        ("biggan_mb128_64x64_c192", 128, 64, 192, 192),
+        ("biggan_mb128_128x128_c96", 128, 128, 96, 96),
     ]
     for tag, n, h, cin, cout in geoms:
         x = jnp.ones((n, h, h, cin), jnp.bfloat16)
@@ -73,14 +75,30 @@ def main():
         fl = 2 * n * h * h * 9 * cin * cout
         out[f"{tag}_conv_tflops"] = fl / t / 1e12
 
-        # Equal-FLOPs matmul with the same contraction depth (9·Cin) and the
-        # same number of output rows (N·H·W) — the im2col-shaped ceiling.
+        # Equal-FLOPs matmul with the same contraction depth (9·Cin), the
+        # same number of output rows (N·H·W), and the SAME f32 output dtype
+        # as the conv (a bf16-emitting `a @ b` would write half the output
+        # bytes — a flattering skew at output-traffic-bound geometries).
         a = jnp.ones((n * h * h, 9 * cin), jnp.bfloat16)
         b = jnp.ones((9 * cin, cout), jnp.bfloat16)
-        tm = _time(lambda a, b: a @ b, a, b)
+        tm = _time(lambda a, b: jnp.matmul(
+            a, b, preferred_element_type=jnp.float32), a, b)
         out[f"{tag}_matmul_tflops"] = fl / tm / 1e12
+
+        # Backward-shaped contractions for the same layer: dgrad is another
+        # 3×3 conv (rotated kernel, same geometry → reuse the fwd number);
+        # wgrad contracts over N·H·W: (9·Cin, N·H·W) × (N·H·W, Cout) — a
+        # deep-K matmul with tiny output, a different MXU regime.  The step
+        # aggregate mixes all three, so the per-op ceiling for a train step
+        # is the FLOPs-weighted mix, not the forward number alone.
+        aw = jnp.ones((9 * cin, n * h * h), jnp.bfloat16)
+        bw = jnp.ones((n * h * h, cout), jnp.bfloat16)
+        tw = _time(lambda a, b: jnp.matmul(
+            a, b, preferred_element_type=jnp.float32), aw, bw)
+        out[f"{tag}_wgrad_tflops"] = fl / tw / 1e12
         print(f"{tag}: conv {out[f'{tag}_conv_tflops']:6.1f} TFLOP/s, "
-              f"im2col-matmul ceiling {out[f'{tag}_matmul_tflops']:6.1f}",
+              f"im2col-matmul ceiling {out[f'{tag}_matmul_tflops']:6.1f}, "
+              f"wgrad-shaped {out[f'{tag}_wgrad_tflops']:6.1f}",
               flush=True)
 
     record("conv_ceiling", **out)

@@ -103,11 +103,17 @@ def main():
     from _results import record
 
     out = {"ch": 96}
-    # 128² = the reference's shipped-log geometry (23 img/s per V100);
+    # 128² = the reference's shipped-log geometry (23 img/s per V100) —
+    # microbatch sweep (mb256 backs the README plateau claim: +2.5% over
+    # mb128, i.e. the step is shape-limited, not batch-starved);
     # 256² = the flagship IC-GAN config (icgan_biggan_imagenet_res256).
-    for resolution, mb in ((128, 128), (256, 32)):
-        for k, v in run_geometry(resolution=resolution, mb=mb).items():
-            out[f"r{resolution}_{k}"] = v
+    for resolution, mbs in ((128, (128, 256)), (256, (32,))):
+        for mb in mbs:
+            r = run_geometry(resolution=resolution, mb=mb)
+            prefix = (f"r{resolution}_" if mb == mbs[0]
+                      else f"r{resolution}_mb{mb}_")
+            for k, v in r.items():
+                out[f"{prefix}{k}"] = v
     record("train_step", **out)
 
 
