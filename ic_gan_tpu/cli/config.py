@@ -87,6 +87,7 @@ CONSUMED_KEYS = {
     "metrics_out", "npz_path", "num_conditionings_gen", "num_imgs_gen",
     "prdc_ref_images", "prdc_nearest_k", "stored_features", "stored_labels",
     "out_dir", "num_imgs", "num_samples", "chunk_size", "compute_moments",
+    "max_images",
     "split", "samples_per_class_path", "max_steps", "steps_per_epoch",
     "log_every",
     "feature_extractor_weights", "input_image",

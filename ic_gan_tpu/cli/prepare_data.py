@@ -193,10 +193,18 @@ def main(argv=None):
     )
     xy = os.path.join(out_dir, names["xy"])
     if not os.path.exists(xy):
-        n = build_xy_hdf5(
-            iter_image_folder(cfg["image_root"], res), xy,
-            chunk=cfg.get("chunk_size", 500),
+        # Archive sources (zip / CIFAR tarball / MNIST idx-gz / LSUN lmdb)
+        # dispatch like the reference dataset tool; a plain directory means
+        # the labeled ImageNet-layout folder walker.
+        from ic_gan_tpu.data.archive_readers import as_chw_batches, open_source
+
+        src = cfg["image_root"]
+        reader = open_source(src, max_images=cfg.get("max_images"))
+        image_iter = (
+            iter_image_folder(src, res) if reader is None
+            else as_chw_batches(reader, res)
         )
+        n = build_xy_hdf5(image_iter, xy, chunk=cfg.get("chunk_size", 500))
         print(f"wrote {n} images to {xy}")
     feats = os.path.join(out_dir, names["feats"])
     if not os.path.exists(feats):
