@@ -32,7 +32,7 @@ enable_compile_cache()
 from __graft_entry__ import _fast_variables
 
 
-def main(num_images=10000, batch=128, resolution=256):
+def main(num_images=10000, batch=128, resolution=256, full_50k=False):
     from ic_gan_tpu.models.biggan import BigGANConfig, Generator
     from ic_gan_tpu.io.deploy import make_sampler
     from ic_gan_tpu.eval.pipeline import (
@@ -68,6 +68,37 @@ def main(num_images=10000, batch=128, resolution=256):
     ref_sigma = a @ a.T + np.eye(2048)
 
     out = {"num_images": num_images, "batch": batch, "resolution": resolution}
+
+    if full_50k:
+        # fid50k-scale wall clock: the reference budgets fid50k_full at
+        # ~13 min/V100 (stylegan2_ada_pytorch/README.md:326-330, 1024²; the
+        # generator half of that cost shrinks at 256² but the 50k Inception
+        # passes dominate either way).  One cold + one steady full
+        # evaluate_generator at 50k generated images, fused bf16 path.
+        seed50 = [5 * 10**6]
+
+        def feature_fn50(b):
+            seed50[0] += 1
+            z, feats = draw(seed50[0])
+            pool, logits = fused16(z, None, feats)
+            return pool, logits, None
+
+        for tag in ("cold", "steady"):
+            t0 = time.perf_counter()
+            res = evaluate_generator(
+                None, ev16, ref_mu, ref_sigma,
+                num_images=num_images, batch=batch, feature_fn=feature_fn50,
+            )
+            dt = time.perf_counter() - t0
+            print(f"fid50k-scale eval ({tag}): {num_images} images in "
+                  f"{dt:.1f}s = {num_images/dt:.1f} img/s")
+            out[f"e2e_{tag}_seconds"] = dt
+        out["e2e_img_s"] = num_images / dt
+        out["FID_selfconsistent"] = float(res["FID"])
+        from _results import record
+
+        record("eval_fid50k", **out)
+        return
 
     # --- fused feature loops (the cli/test.py fused_eval=True path) --------
     def loop(feature_source, tag):
@@ -164,4 +195,7 @@ def main(num_images=10000, batch=128, resolution=256):
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "50k":
+        main(num_images=50000, full_50k=True)
+    else:
+        main()
