@@ -101,6 +101,33 @@ def main():
               f"wgrad-shaped {out[f'{tag}_wgrad_tflops']:6.1f}",
               flush=True)
 
+    # Deployment-sampler geometries (bf16-emitting, as the σ-folded sampler
+    # runs): the 256² final G stage's 3×3 96→96 and the polyphase up-conv's
+    # executed shape (2×2-ish kernel, 192→4·96 phases at 128²).  These bound
+    # the headroom left in bench.py's headline — sample_attribution.json
+    # measures the full block at 75.7 TFLOP/s; if the bare conv lands there
+    # too, the stage is at its per-op ceiling.
+    sample_geoms = [
+        ("sample_mb128_256_c96_k3", 128, 256, 3, 96, 96),
+        ("sample_mb128_128_c192_k2_4x96", 128, 128, 2, 192, 384),
+    ]
+    for tag, n, h, k, cin, cout in sample_geoms:
+        x = jnp.ones((n, h, h, cin), jnp.bfloat16)
+        w = jnp.ones((k, k, cin, cout), jnp.bfloat16)
+
+        def conv16(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.bfloat16,
+            )
+
+        t = _time(conv16, x, w, iters=16)
+        fl = 2 * n * h * h * k * k * cin * cout
+        out[f"{tag}_conv_tflops"] = fl / t / 1e12
+        print(f"{tag}: bf16 conv {out[f'{tag}_conv_tflops']:6.1f} TFLOP/s",
+              flush=True)
+
     record("conv_ceiling", **out)
 
 
