@@ -36,15 +36,29 @@ enable_compile_cache()
 from __graft_entry__ import _fast_variables
 
 
-def run_geometry(resolution=128, ch=96, mb=128):
-    from ic_gan_tpu.models.biggan import BigGANConfig, Generator, Discriminator
+def run_geometry(resolution=128, ch=96, mb=128, deep=False):
     from ic_gan_tpu.train.state import GANTrainState
     from ic_gan_tpu.train.step import TrainConfig, make_train_step
 
-    cfg = BigGANConfig(
-        resolution=resolution, G_ch=ch, D_ch=ch, G_attn="64", D_attn="64",
-        dtype=jnp.bfloat16,
-    )
+    if deep:
+        from ic_gan_tpu.models.biggan_deep import (
+            BigGANDeepConfig, Discriminator, Generator,
+        )
+
+        cfg = BigGANDeepConfig(
+            resolution=resolution, G_ch=ch, D_ch=ch, G_attn="64",
+            D_attn="64", dtype=jnp.bfloat16,
+            class_cond=False, instance_cond=True,  # the IC-GAN deep variant
+        )
+    else:
+        from ic_gan_tpu.models.biggan import (
+            BigGANConfig, Discriminator, Generator,
+        )
+
+        cfg = BigGANConfig(
+            resolution=resolution, G_ch=ch, D_ch=ch, G_attn="64",
+            D_attn="64", dtype=jnp.bfloat16,
+        )
     tcfg = TrainConfig(num_D_steps=1, num_D_accumulations=1,
                        num_G_accumulations=1, ema_start=0)
     g, d = Generator(cfg), Discriminator(cfg)
@@ -114,6 +128,14 @@ def main():
                       else f"r{resolution}_mb{mb}_")
             for k, v in r.items():
                 out[f"{prefix}{k}"] = v
+    # BigGAN-deep (the reference's deep variant, ~2× blocks per stage;
+    # bottleneck 1×1s are thinner than the base model's 3×3s, so sweep the
+    # microbatch — the deep step needs more batch to fill the MXU).
+    for mb in (64, 128, 256):
+        r = run_geometry(resolution=128, mb=mb, deep=True)
+        prefix = "deep128_" if mb == 64 else f"deep128_mb{mb}_"
+        for k, v in r.items():
+            out[f"{prefix}{k}"] = v
     record("train_step", **out)
 
 
