@@ -1,0 +1,129 @@
+"""int8 serving mode: post-training quantization of a generator's convs.
+
+The v5e MXU runs int8×int8→int32 at 1.56-1.67× its bf16 rate at the
+sampler's hot geometries (probe: ``benchmarks/bench_quant_sample.py``), so
+deployment sampling gains a quantized mode on top of ``io/deploy``'s
+σ-folded bf16 path.  Not a reference feature (the reference serves eager
+fp32 torch); this is TPU-native serving depth.
+
+Scheme — standard symmetric post-training quantization:
+  - per-output-channel absmax weight scales (int8 kernels),
+  - per-conv per-tensor activation scales from a calibration run
+    (max |input| across the provided calibration batches),
+  - int32 MXU accumulation, dequant folded into the consumer's
+    elementwise chain (CBN/bias/activation stay bf16),
+  - the polyphase up-convs quantize their four *transformed* 2×2 phase
+    kernels (quantizing the raw 3×3 first would double rounding error),
+  - ``down2x`` convs and all non-conv layers are untouched (serving only
+    runs the generator).
+
+Calibration capture uses ``nn.intercept_methods`` to read every SNConv's
+input absmax inside ONE jitted trace (un-jitted per-op dispatch is minutes
+on the relay TPU — CLAUDE.md), keyed by the module path, which matches the
+variables-tree nesting exactly.
+
+Quality caveat (honest): with zero egress there are no trained weights to
+validate perceptual quality against; ``benchmarks/bench_quant_sample.py``
+pins the numeric drift vs the bf16 sampler on the random-init model, and
+``tests/test_quant.py`` pins the quantization math bit-exactly.  A user
+deploying real checkpoints should validate FID in int8 mode before
+serving (the bench measures the machinery for doing so).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ic_gan_tpu.io.deploy import fold_spectral_norm
+from ic_gan_tpu.ops.resample import polyphase_up_kernels
+
+
+def _quantize_kernel(w: jax.Array) -> tuple:
+    """Per-output-channel symmetric int8: returns (qkernel, wscale)."""
+    w = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
+    s = jnp.maximum(s, 1e-30)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def calibrate_conv_scales(g_module, variables, *apply_args, **apply_kwargs):
+    """One jitted forward pass recording every SNConv's input absmax and its
+    resampling mode; returns {path tuple: (absmax, up2x, down2x)}."""
+    from ic_gan_tpu.models.layers import SNConv
+
+    meta = {}
+
+    def run(v, *args):
+        records = {}
+
+        def interceptor(next_fn, a, kw, ctx):
+            mod = ctx.module
+            if isinstance(mod, SNConv) and ctx.method_name == "__call__":
+                path = tuple(mod.path)
+                x = a[0]
+                m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                records[path] = jnp.maximum(records.get(path, 0.0), m)
+                meta[path] = (mod.up2x, mod.down2x)
+            return next_fn(*a, **kw)
+
+        with nn.intercept_methods(interceptor):
+            g_module.apply(v, *args, **apply_kwargs)
+        return records
+
+    absmax = jax.jit(run)(variables, *apply_args)
+    return {
+        path: (float(absmax[path]), up2x, down2x)
+        for path, (up2x, down2x) in meta.items()
+    }
+
+
+def quantize_variables(g_module, variables, *calib_args, **apply_kwargs):
+    """σ-fold ``variables`` and add a ``quant`` collection holding int8
+    kernels + scales for every SNConv the generator runs (except ``down2x``).
+
+    ``calib_args`` are one representative ``g_module.apply`` input tuple
+    (z, label, feats, ...); pass several batches by calling
+    ``calibrate_conv_scales`` yourself and widening the scales.
+    """
+    if "sn" in variables:
+        variables = fold_spectral_norm(variables)
+    scales = calibrate_conv_scales(
+        g_module, variables, *calib_args, **apply_kwargs
+    )
+
+    def get_node(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
+    def build_all(params):
+        quant: Dict[str, Any] = {}
+        for path, (absmax, up2x, down2x) in scales.items():
+            if down2x:
+                continue
+            kernel = get_node(params, path)["kernel"].astype(jnp.float32)
+            if up2x:
+                qs = [_quantize_kernel(k)
+                      for k in polyphase_up_kernels(kernel)]
+                qk = jnp.stack([q for q, _ in qs])    # (4, 2, 2, cin, cout)
+                ws = jnp.stack([s for _, s in qs])    # (4, cout)
+            else:
+                qk, ws = _quantize_kernel(kernel)
+            node = quant
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = {
+                "act_scale": jnp.float32(max(absmax, 1e-30) / 127.0),
+                "qkernel": qk,
+                "wscale": ws,
+            }
+        return quant
+
+    out = dict(variables)
+    out["quant"] = jax.jit(build_all)(variables["params"])
+    return out

@@ -260,23 +260,59 @@ def conv3x3_nearest_up(x: jax.Array, w: jax.Array) -> jax.Array:
     x: (N, H, W, Cin); w: (3, 3, Cin, Cout) → (N, 2H, 2W, Cout).
     """
     assert w.shape[:2] == (3, 3), w.shape
-    # Tap-combination matrices: even outputs read source rows (i-1, i) with
-    # weights (w0, w1+w2); odd outputs read (i, i+1) with (w0+w1, w2).
+    phases = []
+    for (di, dj), k in zip(_PHASE_OFFSETS, polyphase_up_kernels(w)):
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1 - di, di), (1 - dj, dj)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        phases.append(y)
+    return _interleave_phases(phases, x.shape)
+
+
+_PHASE_OFFSETS = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def polyphase_up_kernels(w: jax.Array) -> list:
+    """The four 2×2 phase kernels of ``conv3x3_nearest_up`` (phase order
+    ``_PHASE_OFFSETS``).  Tap-combination matrices: even outputs read source
+    rows (i-1, i) with weights (w0, w1+w2); odd outputs read (i, i+1) with
+    (w0+w1, w2)."""
     a0 = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], w.dtype)
     a1 = jnp.array([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]], w.dtype)
-    phases = []
-    for di, ar in ((0, a0), (1, a1)):
-        for dj, ac in ((0, a0), (1, a1)):
-            k = jnp.einsum("ra,abio,cb->rcio", ar, w, ac)
-            y = jax.lax.conv_general_dilated(
-                x, k, (1, 1), ((1 - di, di), (1 - dj, dj)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            phases.append(y)
-    n, h, wd = x.shape[0], x.shape[1], x.shape[2]
+    return [
+        jnp.einsum("ra,abio,cb->rcio", ar, w, ac)
+        for _, ar in ((0, a0), (1, a1)) for _, ac in ((0, a0), (1, a1))
+    ]
+
+
+def _interleave_phases(phases, x_shape):
+    n, h, wd = x_shape[0], x_shape[1], x_shape[2]
     y = jnp.stack(phases).reshape(2, 2, n, h, wd, -1)
     y = jnp.transpose(y, (2, 3, 0, 4, 1, 5))  # N, H, di, W, dj, C
     return y.reshape(n, 2 * h, 2 * wd, -1)
+
+
+def conv3x3_nearest_up_q(
+    xq: jax.Array, qkernels: jax.Array, scales: jax.Array, out_dtype
+) -> jax.Array:
+    """int8 ``conv3x3_nearest_up``: four int8 phase convs (int32 accumulate)
+    dequantized per output channel.  ``xq``: (N, H, W, Cin) int8;
+    ``qkernels``: (4, 2, 2, Cin, Cout) int8 in ``_PHASE_OFFSETS`` order;
+    ``scales``: (4, Cout) — the combined dequant factor (act_scale ·
+    per-channel weight scale).  Used by the int8 serving mode
+    (``io/quant.py``); quantization happens at deploy time on the
+    *transformed* phase kernels (their taps are sums of ``w`` entries, so
+    quantizing ``w`` first would double the rounding error)."""
+    phases = []
+    for i, (di, dj) in enumerate(_PHASE_OFFSETS):
+        y = jax.lax.conv_general_dilated(
+            xq, qkernels[i], (1, 1), ((1 - di, di), (1 - dj, dj)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        phases.append(y.astype(out_dtype) * scales[i].astype(out_dtype))
+    return _interleave_phases(phases, xq.shape)
 
 
 def conv3x3_avg_pool_down(x: jax.Array, w: jax.Array) -> jax.Array:

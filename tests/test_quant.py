@@ -1,0 +1,168 @@
+"""int8 serving mode (``io/quant.py``): quantization math, calibration
+capture, and end-to-end sampler drift bounds.
+
+Not a reference feature — this is TPU-native serving depth on top of the
+σ-folded deployment path; the tests pin the machinery exactly (the int8
+conv path must equal the explicit quantize→conv→dequant reference
+bit-for-bit, since both run the same int arithmetic)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ic_gan_tpu.io.quant import (
+    _quantize_kernel,
+    calibrate_conv_scales,
+    quantize_variables,
+)
+from ic_gan_tpu.models.layers import SNConv
+from ic_gan_tpu.ops.resample import (
+    conv3x3_nearest_up,
+    conv3x3_nearest_up_q,
+    polyphase_up_kernels,
+)
+
+
+def _quant_x(x, sx):
+    return np.clip(np.round(np.asarray(x, np.float32) / sx), -127, 127
+                   ).astype(np.int8)
+
+
+def test_quantize_kernel_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32))
+    q, s = _quantize_kernel(w)
+    assert q.dtype == jnp.int8 and s.shape == (16,)
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    err = np.abs(deq - np.asarray(w)).max(axis=(0, 1, 2))
+    # Per-channel absmax scaling: error bounded by half a quantum.
+    assert (err <= np.asarray(s) * 0.5 + 1e-7).all()
+    # The largest-magnitude tap per channel hits ±127 exactly.
+    assert (np.abs(np.asarray(q)).max(axis=(0, 1, 2)) == 127).all()
+
+
+def test_snconv_quant_branch_matches_reference():
+    """SNConv with a quant collection == explicit quantize→conv→dequant."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 6).astype(np.float32))
+    mod = SNConv(10, kernel_size=(3, 3))
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    w = params["kernel"]
+    qk, ws = _quantize_kernel(w)
+    sx = float(jnp.max(jnp.abs(x))) / 127.0
+    qvars = {
+        "params": params,
+        "quant": {"act_scale": jnp.float32(sx), "qkernel": qk, "wscale": ws},
+    }
+    got = mod.apply(qvars, x)
+
+    xq = _quant_x(x, sx)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(xq, jnp.float32), jnp.asarray(qk, jnp.float32),
+        (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) * (ws * sx) + params["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_nearest_up_q_matches_dequantized_kernels():
+    """The int8 polyphase up-conv equals running conv3x3_nearest_up's exact
+    per-phase math with the dequantized int kernels (int32 accumulation of
+    int8 values is exact)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 6, 6, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32) * 0.1)
+    phases = [_quantize_kernel(k) for k in polyphase_up_kernels(w)]
+    qk = jnp.stack([q for q, _ in phases])
+    ws = jnp.stack([s for _, s in phases])
+    sx = float(jnp.max(jnp.abs(x))) / 127.0
+    xq = jnp.asarray(_quant_x(x, sx))
+    got = conv3x3_nearest_up_q(xq, qk, ws * sx, jnp.float32)
+
+    # Reference: f32 conv3x3_nearest_up cannot be used directly (its phase
+    # kernels differ from the quantized ones); dequantize each phase kernel
+    # and interleave via the public op on a per-phase equivalent: run the
+    # int path in f32 manually.
+    from ic_gan_tpu.ops.resample import _PHASE_OFFSETS, _interleave_phases
+
+    ref_phases = []
+    for i, (di, dj) in enumerate(_PHASE_OFFSETS):
+        y = jax.lax.conv_general_dilated(
+            jnp.asarray(xq, jnp.float32), jnp.asarray(qk[i], jnp.float32),
+            (1, 1), ((1 - di, di), (1 - dj, dj)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) * (ws[i] * sx)
+        ref_phases.append(y)
+    ref = _interleave_phases(ref_phases, xq.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # And it approximates the unquantized op (sanity on the scheme itself).
+    exact = conv3x3_nearest_up(x, w)
+    rel = float(jnp.abs(got - exact).mean() / jnp.abs(exact).mean())
+    assert rel < 0.02, rel
+
+
+def _tiny_gen():
+    from ic_gan_tpu.models.biggan import BigGANConfig, Generator
+
+    cfg = BigGANConfig(resolution=32, G_ch=8, G_attn="16", dim_z=12,
+                       shared_dim_feat=16, instance_sz=24)
+    g = Generator(cfg)
+    rng = np.random.RandomState(3)
+    z = jnp.asarray(rng.randn(4, cfg.effective_dim_z), jnp.float32)
+    f = jnp.asarray(rng.randn(4, cfg.instance_sz), jnp.float32)
+    variables = g.init(jax.random.PRNGKey(0), z, None, f)
+    return g, variables, z, f
+
+
+def test_calibration_covers_every_g_conv():
+    g, variables, z, f = _tiny_gen()
+    from ic_gan_tpu.io.deploy import fold_spectral_norm
+
+    folded = fold_spectral_norm(variables)
+    scales = calibrate_conv_scales(g, folded, z, None, f, train=False)
+    names = {path[-1] for path in scales}
+    assert {"conv1", "conv2", "conv_sc", "theta", "phi", "g", "o"} <= names
+    assert all(a > 0 for a, _, _ in scales.values())
+    assert all(not down for _, _, down in scales.values())
+    # up2x recorded correctly: every GBlock conv1 is an up-conv here.
+    for path, (_, up2x, _) in scales.items():
+        assert up2x == (path[-1] == "conv1"), path
+
+
+def test_quantized_sampler_end_to_end():
+    from ic_gan_tpu.io.deploy import make_sampler
+
+    g, variables, z, f = _tiny_gen()
+    qv = quantize_variables(g, variables, z, None, f, train=False)
+    assert "sn" not in qv  # folded
+    s_ref = make_sampler(g, variables, batch_size=4)
+    s_q = make_sampler(g, qv, batch_size=4)
+    a = np.asarray(s_ref(z, None, f))
+    b = np.asarray(s_q(z, None, f))
+    assert b.shape == a.shape and np.isfinite(b).all()
+    rel = np.abs(a - b).mean() / np.abs(a).mean()
+    assert 0 < rel < 0.1, rel  # quantized, but close
+
+
+def test_float_path_unaffected():
+    """Dropping the quant collection must give back the float deploy path
+    bit-identically (the branch keys on collection presence), and that path
+    must match the un-folded eval apply to float tolerance."""
+    from ic_gan_tpu.io.deploy import fold_spectral_norm
+
+    g, variables, z, f = _tiny_gen()
+    qv = quantize_variables(g, variables, z, None, f, train=False)
+    no_q = {k: v for k, v in qv.items() if k != "quant"}
+    folded = fold_spectral_norm(variables)
+    out_folded = g.apply(folded, z, None, f, train=False)
+    out_no_q = g.apply(no_q, z, None, f, train=False)
+    np.testing.assert_array_equal(np.asarray(out_folded),
+                                  np.asarray(out_no_q))
+    out_eval = g.apply(variables, z, None, f, train=False)
+    np.testing.assert_allclose(np.asarray(out_eval), np.asarray(out_no_q),
+                               rtol=1e-4, atol=1e-5)
