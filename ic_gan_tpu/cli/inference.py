@@ -179,9 +179,43 @@ def load_model_inference(cfg: Dict[str, Any]):
     # (generate_images.py:55); accept it as an alias.
     if "backbone" not in cfg and cfg.get("model_backbone"):
         cfg["backbone"] = cfg["model_backbone"]
+    if (cfg.get("quantize_serving", False)
+            and cfg.get("backbone", cfg.get("model_backbone", "biggan"))
+            == "stylegan2"):
+        raise ValueError(
+            "quantize_serving supports the BigGAN backbones only "
+            "(SG2's per-sample modulated convs need a different scheme)")
     g, variables, model_cfg = load_generator(cfg)
     backbone = cfg.get("backbone", "biggan")
     batch = cfg.get("batch_size", 32)
+    if cfg.get("quantize_serving", False):
+        # int8 serving (io/quant.py): measured 1.29× the bf16 path at 256²
+        # (benchmarks/results/quant_sample.json).  Calibration: z from the
+        # true prior; instance features from ``stored_features`` when given
+        # (the real serving distribution), else N(0,1) with a warning.
+        from ic_gan_tpu.io.quant import quantize_variables
+
+        rng = np.random.RandomState(cfg.get("seed", 0))
+        n_cal = cfg.get("quant_calibration_images", 64)
+        zc = jnp.asarray(rng.randn(
+            n_cal, model_cfg.effective_dim_z), jnp.float32)
+        lc = None
+        if getattr(model_cfg, "class_cond", False):
+            lc = jnp.asarray(
+                rng.randint(0, model_cfg.n_classes, n_cal), jnp.int32)
+        fc = None
+        if getattr(model_cfg, "instance_cond", False):
+            sf = cfg.get("stored_features")
+            if sf and os.path.exists(sf):
+                bank = np.load(sf)
+                fc = jnp.asarray(bank[rng.randint(0, len(bank), n_cal)],
+                                 jnp.float32)
+            else:
+                print("WARNING: quantize_serving calibrating on N(0,1) "
+                      "features; pass stored_features for real statistics.")
+                fc = jnp.asarray(rng.randn(
+                    n_cal, model_cfg.instance_sz), jnp.float32)
+        variables = quantize_variables(g, variables, zc, lc, fc, train=False)
     dtype = jnp.bfloat16 if cfg.get("deploy_bf16", False) else None
     apply_kwargs = {}
     if backbone == "stylegan2":

@@ -149,6 +149,60 @@ def test_quantized_sampler_end_to_end():
     assert 0 < rel < 0.1, rel  # quantized, but close
 
 
+def test_cli_quantize_serving(tmp_path):
+    """load_model_inference(quantize_serving=True) serves the int8 path."""
+    from ic_gan_tpu.cli.inference import load_model_inference
+    from ic_gan_tpu.io.checkpoint import save_checkpoint
+    from ic_gan_tpu.models.biggan import (
+        BigGANConfig, Discriminator, Generator,
+    )
+    from ic_gan_tpu.train.state import GANTrainState
+    from ic_gan_tpu.train.step import TrainConfig
+
+    mcfg = BigGANConfig(resolution=32, n_classes=2, G_ch=4, D_ch=4, dim_z=8,
+                        G_attn="0", D_attn="0", shared_dim=8,
+                        shared_dim_feat=8)
+    g = Generator(mcfg)
+    d = Discriminator(mcfg)
+    z = jnp.zeros((1, mcfg.effective_dim_z))
+    feats = jnp.zeros((1, 2048))
+    gv = g.init(jax.random.PRNGKey(0), z, None, feats)
+    dv = d.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), None,
+                feats)
+    tcfg = TrainConfig()
+    state = GANTrainState.create(gv, dv, tcfg.g_optimizer(),
+                                 tcfg.d_optimizer())
+    save_checkpoint(str(tmp_path / "w"), "exp", state, {})
+
+    base = {
+        "resolution": 32, "n_classes": 2, "G_ch": 4, "D_ch": 4, "dim_z": 8,
+        "G_attn": "0", "D_attn": "0", "shared_dim": 8, "shared_dim_feat": 8,
+        "instance_cond": True, "G_shared_feat": True, "hier": True,
+        "experiment_name": "exp", "weights_root": str(tmp_path / "w"),
+        "load_weights": "", "batch_size": 4,
+    }
+    fn_q, _ = load_model_inference(dict(base, quantize_serving=True))
+    assert "quant" in fn_q.variables
+    fn, _ = load_model_inference(dict(base))
+    assert "quant" not in fn.variables
+    rng = np.random.RandomState(0)
+    zb = rng.randn(4, mcfg.effective_dim_z).astype(np.float32)
+    fb = rng.randn(4, 2048).astype(np.float32)
+    a = np.asarray(fn(zb, None, fb))
+    b = np.asarray(fn_q(zb, None, fb))
+    assert np.isfinite(b).all()
+    rel = np.abs(a - b).mean() / np.abs(a).mean()
+    assert 0 < rel < 0.1, rel
+    # SG2 backbone is rejected (per-sample modulated convs).
+    with pytest.raises(ValueError, match="BigGAN"):
+        load_model_inference({
+            "backbone": "stylegan2", "quantize_serving": True,
+            "resolution": 16, "z_dim": 8, "c_dim": 0, "h_dim": 0,
+            "w_dim": 16, "channel_base": 512, "channel_max": 32,
+            "network_pkl": "",
+        })
+
+
 def test_float_path_unaffected():
     """Dropping the quant collection must give back the float deploy path
     bit-identically (the branch keys on collection presence), and that path
