@@ -31,6 +31,7 @@ to the roofline the chip actually runs.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -139,6 +140,28 @@ def main():
         dt = time.perf_counter() - t0
         rate = max(rate, batch * n_iters / dt)
 
+    # int8 serving mode (io/quant.py) on the same harness: reported as an
+    # extra key, not the headline — the headline stays the bf16 path the
+    # baseline estimate and the r01-r03 series are defined on.
+    int8_rate = None
+    try:
+        from ic_gan_tpu.io.quant import quantize_variables
+
+        qv = quantize_variables(g, variables, z, None, feats, train=False)
+        qfwd = jax.jit(sample)
+        _, chk = qfwd(qv, z, feats)
+        float(chk)
+        int8_rate = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(n_iters):
+                _, chk = qfwd(qv, z + 0.0 * chk, feats)
+            float(chk)
+            int8_rate = max(int8_rate,
+                            batch * n_iters / (time.perf_counter() - t0))
+    except Exception as e:
+        print(f"# int8 mode unavailable: {e}", file=sys.stderr)
+
     baseline = A100_FP16_PEAK * PYTORCH_EAGER_UTILIZATION / (REF_GFLOP_PER_IMG * 1e9)
 
     kind = jax.devices()[0].device_kind
@@ -157,6 +180,9 @@ def main():
         "mfu": round(achieved / peak, 3) if achieved and peak else None,
         "ref_graph_gflop_per_img": REF_GFLOP_PER_IMG,
         "baseline_img_per_s": round(baseline, 1),
+        "int8_serving_img_per_s": round(int8_rate, 2) if int8_rate else None,
+        "int8_vs_baseline": (round(int8_rate / baseline, 3)
+                             if int8_rate else None),
     }
     print(json.dumps(out))
 

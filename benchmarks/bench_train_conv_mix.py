@@ -28,6 +28,13 @@ FLOP bookkeeping uses XLA's cost model (cost_analysis), the same
 convention as train_step.json's MFU — not a hand formula.
 
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_train_conv_mix.py
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_train_conv_mix.py --deep
+
+``--deep`` runs the same accounting for the BigGAN-deep 128² ch96 step
+(train_step.json ``deep128_mb128_*``: 447 img/s, 24% MFU) — the deep
+variant's bottleneck blocks spend most FLOPs in 1×1 convs and ch/4-thin
+3×3s, so the question the probe answers is whether 24% is a step
+inefficiency or the per-op rate those geometries sustain standalone.
 """
 
 import json
@@ -50,6 +57,9 @@ MB = 128
 RES = 128
 CH = 96
 Y_DIM = 148  # shared_dim 128 + hier-z chunk 20 (BigGANConfig defaults)
+# Deep conditioning vector: shared_dim_feat 512 + dim_z 128 concatenated once
+# (biggan_deep.py:205-209, matching bench_train_step's instance-cond config).
+Y_DIM_DEEP = 640
 
 
 def _bench_unit(mod, x, extra, direction, apply_kw, mutable, iters=8):
@@ -147,8 +157,61 @@ def build_units():
     return units
 
 
-def main():
-    units = build_units()
+def build_units_deep():
+    """BigGAN-deep unit list: G_depth/D_depth=2 bottleneck blocks per stage
+    (biggan_deep.py:222-248, 272-294), stem/linears left to the residual."""
+    from ic_gan_tpu.models.biggan import g_arch
+    from ic_gan_tpu.models.biggan_deep import (
+        DeepDBlock, DeepGBlock, deep_d_arch,
+    )
+    from ic_gan_tpu.models.layers import SelfAttention
+
+    g = g_arch(RES, CH)
+    d = deep_d_arch(RES, CH)
+    units = []
+    g_dirs = [("g_fwd", "fwd", MB), ("g_fwdbwd", "fwd_full", MB)]
+    d_dirs = [("d_fwdbwd", "fwd_full", 2 * MB), ("d_dgrad", "fwd_dgrad", MB)]
+    for i, (cin, cout, res) in enumerate(
+        zip(g["in_channels"], g["out_channels"], g["resolution"])
+    ):
+        in_res = res // 2 if g["upsample"][i] else res
+        for gi in range(2):  # G_depth = 2
+            mod = DeepGBlock(
+                in_features=cin,
+                out_features=cin if gi == 0 else cout,
+                upsample=g["upsample"][i] and gi == 1,
+                dtype=jnp.bfloat16,
+            )
+            units.append((f"G.block{i}.{gi}", mod, (in_res, cin), True, g_dirs))
+        if g["attention"][i]:
+            units.append((f"G.attn{res}",
+                          SelfAttention(cout, dtype=jnp.bfloat16),
+                          (res, cout), False, g_dirs))
+    in_res = RES
+    for i, (cin, cout) in enumerate(zip(d["in_channels"], d["out_channels"])):
+        down = d["downsample"][i]
+        out_res = in_res // 2 if down else in_res
+        for di in range(2):  # D_depth = 2
+            mod = DeepDBlock(
+                in_features=cin if di == 0 else cout,
+                out_features=cout,
+                downsample=down and di == 0,
+                dtype=jnp.bfloat16,
+            )
+            res_i = in_res if di == 0 else out_res
+            units.append((f"D.block{i}.{di}", mod,
+                          (res_i, cin if di == 0 else cout), False, d_dirs))
+        if d["attention"][i]:
+            units.append((f"D.attn{out_res}",
+                          SelfAttention(cout, dtype=jnp.bfloat16),
+                          (out_res, cout), False, d_dirs))
+        in_res = out_res
+    return units
+
+
+def main(deep: bool = False):
+    units = build_units_deep() if deep else build_units()
+    y_dim = Y_DIM_DEEP if deep else Y_DIM
     by_class = {}
     total_ms, total_fl = 0.0, 0.0
     for label, mod, (res, cin), needs_y, dirs in units:
@@ -156,7 +219,7 @@ def main():
             x = jnp.asarray(
                 np.random.RandomState(0).randn(n, res, res, cin), jnp.bfloat16)
             extra = ((jnp.asarray(
-                np.random.RandomState(1).randn(n, Y_DIM), jnp.float32),)
+                np.random.RandomState(1).randn(n, y_dim), jnp.float32),)
                 if needs_y else ())
             apply_kw = ({"train": True} if needs_y else {"update_sn": True})
             mutable = ["batch_stats", "sn"] if needs_y else ["sn"]
@@ -171,12 +234,14 @@ def main():
 
     step_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "results", "train_step.json")
+    key = "deep128_mb128" if deep else "r128"
     step_ms = step_fl = None
     if os.path.exists(step_path):
         with open(step_path) as f:
             sj = json.load(f)
-        step_ms = sj.get("r128_ms_per_step")
-        step_fl = sj.get("r128_tflops", 0) * step_ms / 1e3 if step_ms else None
+        step_ms = sj.get(f"{key}_ms_per_step")
+        step_fl = (sj.get(f"{key}_tflops", 0) * step_ms / 1e3
+                   if step_ms else None)
 
     print(f"\nachievable step (Σ standalone blocks): {total_ms:.1f} ms, "
           f"{total_fl/1e12:.2f} TFLOP "
@@ -202,8 +267,8 @@ def main():
         out["step_vs_achievable"] = total_ms / step_ms
         if step_fl:
             out["step_flops_t"] = step_fl
-    record("train_conv_mix", **out)
+    record("train_conv_mix_deep" if deep else "train_conv_mix", **out)
 
 
 if __name__ == "__main__":
-    main()
+    main(deep="--deep" in sys.argv)

@@ -179,16 +179,41 @@ def load_model_inference(cfg: Dict[str, Any]):
     # (generate_images.py:55); accept it as an alias.
     if "backbone" not in cfg and cfg.get("model_backbone"):
         cfg["backbone"] = cfg["model_backbone"]
-    if (cfg.get("quantize_serving", False)
-            and cfg.get("backbone", cfg.get("model_backbone", "biggan"))
-            == "stylegan2"):
-        raise ValueError(
-            "quantize_serving supports the BigGAN backbones only "
-            "(SG2's per-sample modulated convs need a different scheme)")
     g, variables, model_cfg = load_generator(cfg)
     backbone = cfg.get("backbone", "biggan")
     batch = cfg.get("batch_size", 32)
-    if cfg.get("quantize_serving", False):
+    if cfg.get("quantize_serving", False) and backbone == "stylegan2":
+        # int8 serving for SG2 (io/quant.py): modulated convs keep the
+        # style scaling on the activations, so the static weights (and the
+        # up=2 composite polyphase kernels) quantize per-channel like plain
+        # convs; activation scales calibrate on the modulated inputs.
+        from ic_gan_tpu.io.quant import quantize_stylegan2_variables
+
+        rng = np.random.RandomState(cfg.get("seed", 0))
+        n_cal = cfg.get("quant_calibration_images", 64)
+        zc = jnp.asarray(rng.randn(n_cal, model_cfg.z_dim), jnp.float32)
+        cc = None
+        if getattr(model_cfg, "c_dim", 0):
+            cc = jnp.asarray(np.eye(model_cfg.c_dim, dtype=np.float32)[
+                rng.randint(0, model_cfg.c_dim, n_cal)])
+        fc = None
+        if getattr(model_cfg, "h_dim", 0):
+            sf = cfg.get("stored_features")
+            if sf and os.path.exists(sf):
+                bank = np.load(sf)
+                fc = jnp.asarray(bank[rng.randint(0, len(bank), n_cal)],
+                                 jnp.float32)
+            else:
+                print("WARNING: quantize_serving calibrating on N(0,1) "
+                      "features; pass stored_features for real statistics.")
+                fc = jnp.asarray(rng.randn(n_cal, model_cfg.h_dim),
+                                 jnp.float32)
+        variables = quantize_stylegan2_variables(
+            g, variables, zc, cc, fc,
+            truncation_psi=cfg.get("truncation_psi", 1.0),
+            noise_mode=cfg.get("noise_mode", "const"),
+        )
+    elif cfg.get("quantize_serving", False):
         # int8 serving (io/quant.py): measured 1.29× the bf16 path at 256²
         # (benchmarks/results/quant_sample.json).  Calibration: z from the
         # true prior; instance features from ``stored_features`` when given

@@ -127,3 +127,97 @@ def quantize_variables(g_module, variables, *calib_args, **apply_kwargs):
     out = dict(variables)
     out["quant"] = jax.jit(build_all)(variables["params"])
     return out
+
+
+def quantize_stylegan2_variables(g_module, variables, *calib_args,
+                                 resample_filter=(1, 3, 3, 1),
+                                 **apply_kwargs):
+    """int8 serving mode for the StyleGAN2 backbone.
+
+    Modulated convs put the per-sample style scaling on the *activations*
+    (``modulated_conv2d``: ``conv(x·s, w)`` then demod), so the weight is
+    static per checkpoint and quantizes exactly like a plain conv:
+      - per-output-channel int8 weight scales,
+      - per-layer per-tensor activation scales calibrated on the
+        **modulated** input ``x·s`` (sown by ``_layer_quant`` during a
+        calibration forward),
+      - ``up=2`` layers quantize the four *composite polyphase* kernels
+        (w ⊛ FIR, phase-split — ``ops/conv_resample._conv_up2_polyphase``),
+        so FIR filtering rides the int8 MXU pass too and the transformed
+        taps are rounded once,
+      - demod/noise/bias/act stay bf16; the bf16 overflow pre-norm is
+        skipped (it cancels mathematically; int32 accumulation can't
+        overflow).
+
+    ``calib_args``/``apply_kwargs`` are one representative ``apply`` input
+    (z, c, feats, noise_mode="const", ...).  ``resample_filter`` must match
+    the synthesis layers' config (the calibration sow doesn't carry it).
+    """
+    import numpy as np
+
+    from ic_gan_tpu.ops.conv_resample import _compose_kernel
+    from ic_gan_tpu.ops.resample import setup_filter
+
+    def calib(v, *args):
+        _, mut = g_module.apply(
+            v, *args, **apply_kwargs, mutable=["quant_calib"]
+        )
+        return mut["quant_calib"]
+
+    calib_tree = jax.device_get(
+        jax.jit(calib)(variables, *calib_args)
+    )
+
+    f = jnp.asarray(
+        setup_filter(jnp.asarray(np.asarray(resample_filter, np.float32)))
+    )
+    f2d = (jnp.outer(f, f) if f.ndim == 1 else f) * 4.0  # gain = up²
+
+    def leaves(tree, path=()):
+        if isinstance(tree, dict) and "absmax" in tree:
+            yield path, tree
+            return
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                yield from leaves(v, path + (k,))
+
+    entries = [(path, float(np.asarray(node["absmax"])),
+                int(np.asarray(node["up"])))
+               for path, node in leaves(calib_tree)]
+
+    def get_node(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
+    def build_all(params):
+        quant: Dict[str, Any] = {}
+        for path, absmax, up in entries:
+            w = get_node(params, path)["weight"].astype(jnp.float32)
+            if up == 1:
+                qk, ws = _quantize_kernel(w)
+            elif up == 2 and w.shape[0] == 3 and w.shape[1] == 3:
+                # flip_weight=False for up=2 (conv semantics) → compose the
+                # FLIPPED kernel with the FIR, exactly as conv2d_resample.
+                K = _compose_kernel(jnp.flip(w, axis=(0, 1)), f2d)
+                qs = [
+                    _quantize_kernel(K[(3 - a) % 2:: 2, (3 - b) % 2:: 2])
+                    for a in (0, 1) for b in (0, 1)
+                ]
+                qk = jnp.concatenate([q for q, _ in qs], axis=-1)
+                ws = jnp.stack([s for _, s in qs])  # (4, O)
+            else:  # unsupported geometry: leave this layer unquantized
+                continue
+            node = quant
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = {
+                "act_scale": jnp.float32(max(absmax, 1e-30) / 127.0),
+                "qkernel": qk,
+                "wscale": ws,
+            }
+        return quant
+
+    out = dict(variables)
+    out["quant"] = jax.jit(build_all)(variables["params"])
+    return out

@@ -193,14 +193,147 @@ def test_cli_quantize_serving(tmp_path):
     assert np.isfinite(b).all()
     rel = np.abs(a - b).mean() / np.abs(a).mean()
     assert 0 < rel < 0.1, rel
-    # SG2 backbone is rejected (per-sample modulated convs).
-    with pytest.raises(ValueError, match="BigGAN"):
-        load_model_inference({
-            "backbone": "stylegan2", "quantize_serving": True,
-            "resolution": 16, "z_dim": 8, "c_dim": 0, "h_dim": 0,
-            "w_dim": 16, "channel_base": 512, "channel_max": 32,
-            "network_pkl": "",
-        })
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN2 int8 serving (quantize_stylegan2_variables)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_sg2():
+    from ic_gan_tpu.models.stylegan2 import StyleGAN2Config, Generator
+
+    cfg = StyleGAN2Config(
+        img_resolution=32, w_dim=64, z_dim=48, h_dim=24, c_dim=0,
+        channel_base=4096, channel_max=64, num_mapping_layers=2,
+    )
+    g = Generator(cfg)
+    rng = np.random.RandomState(7)
+    z = jnp.asarray(rng.randn(4, cfg.z_dim), jnp.float32)
+    h = jnp.asarray(rng.randn(4, cfg.h_dim), jnp.float32)
+    variables = g.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        z, None, h, noise_mode="const",
+    )
+    return g, variables, z, h
+
+
+def test_modulated_conv_quant_branch_matches_reference():
+    """modulated_conv2d(quant=...) == explicit quantize→conv→dequant→demod
+    (same int arithmetic, so equal to float tolerance)."""
+    from ic_gan_tpu.models.stylegan2 import modulated_conv2d
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 8, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 6, 10).astype(np.float32) * 0.2)
+    styles = jnp.asarray(np.exp(rng.randn(2, 6)).astype(np.float32))
+    xm = np.asarray(x) * np.asarray(styles)[:, None, None, :]
+    sx = float(np.abs(xm).max()) / 127.0
+    qk, ws = _quantize_kernel(w)
+    got = modulated_conv2d(
+        x, w, styles, padding=1,
+        quant={"act_scale": jnp.float32(sx), "qkernel": qk, "wscale": ws},
+    )
+    xq = _quant_x(xm, sx)
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(xq, jnp.float32), jnp.asarray(qk, jnp.float32),
+        (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) * (ws * sx)
+    w2 = jnp.sum(jnp.square(w), axis=(0, 1))
+    d = jax.lax.rsqrt(jnp.square(styles) @ w2 + 1e-8)
+    ref = y * d[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # And it approximates the float modulated conv.
+    exact = modulated_conv2d(x, w, styles, padding=1)
+    rel = float(jnp.abs(got - exact).mean() / jnp.abs(exact).mean())
+    assert rel < 0.05, rel
+
+
+def test_sg2_up2_quant_matches_float_polyphase():
+    """The up=2 composite-polyphase int8 path approximates the float up=2
+    modulated conv (which itself runs _conv_up2_polyphase), and the phase
+    kernels are built from the same composed kernel."""
+    from ic_gan_tpu.models.stylegan2 import modulated_conv2d
+    from ic_gan_tpu.ops.conv_resample import _compose_kernel
+    from ic_gan_tpu.ops.resample import setup_filter
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 8, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 6, 8).astype(np.float32) * 0.2)
+    styles = jnp.asarray(np.exp(0.3 * rng.randn(2, 6)).astype(np.float32))
+    f = jnp.asarray(setup_filter(jnp.asarray([1.0, 3.0, 3.0, 1.0])))
+
+    exact = modulated_conv2d(
+        x, w, styles, up=2, padding=1, resample_filter=f, flip_weight=False,
+    )
+
+    f2d = jnp.outer(f, f) * 4.0
+    K = _compose_kernel(jnp.flip(w, axis=(0, 1)), f2d)
+    qs = [_quantize_kernel(K[(3 - a) % 2::2, (3 - b) % 2::2])
+          for a in (0, 1) for b in (0, 1)]
+    qk = jnp.concatenate([q for q, _ in qs], axis=-1)
+    ws = jnp.stack([s for _, s in qs])
+    xm = np.asarray(x) * np.asarray(styles)[:, None, None, :]
+    sx = float(np.abs(xm).max()) / 127.0
+    got = modulated_conv2d(
+        x, w, styles, up=2, padding=1, resample_filter=f, flip_weight=False,
+        quant={"act_scale": jnp.float32(sx), "qkernel": qk, "wscale": ws},
+    )
+    assert got.shape == exact.shape == (2, 16, 16, 8)
+    rel = float(jnp.abs(got - exact).mean() / jnp.abs(exact).mean())
+    assert rel < 0.05, rel
+
+
+def test_sg2_quantized_generator_end_to_end():
+    g, variables, z, h = _tiny_sg2()
+    from ic_gan_tpu.io.quant import quantize_stylegan2_variables
+
+    ref = g.apply(variables, z, None, h, noise_mode="const")
+    qv = quantize_stylegan2_variables(g, variables, z, None, h,
+                                      noise_mode="const")
+    leaves = jax.tree_util.tree_leaves_with_path(qv["quant"])
+    paths = {jax.tree_util.keystr(p) for p, _ in leaves}
+    # Every synthesis conv quantized; ToRGB never is (FLOP-negligible,
+    # drift-only — see models/stylegan2.py ToRGB).
+    assert any("conv0" in p or "conv1" in p for p in paths)
+    assert not any("torgb" in p for p in paths)
+    out = g.apply(qv, z, None, h, noise_mode="const")
+    assert np.isfinite(np.asarray(out)).all()
+    rel = float(jnp.abs(out - ref).mean() / jnp.abs(ref).mean())
+    assert 0 < rel < 0.1, rel
+    # Dropping the quant collection restores the float path bit-exactly.
+    no_q = {k: v for k, v in qv.items() if k != "quant"}
+    np.testing.assert_array_equal(
+        np.asarray(g.apply(no_q, z, None, h, noise_mode="const")),
+        np.asarray(ref))
+
+
+def test_sg2_cli_quantize_serving(tmp_path):
+    """load_model_inference(backbone=stylegan2, quantize_serving=True)."""
+    import pickle
+
+    from test_tf_legacy_import import _make_tf_generator, _make_tf_discriminator
+
+    from ic_gan_tpu.cli.inference import load_model_inference
+
+    rng = np.random.RandomState(0)
+    pkl = tmp_path / "net.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump((_make_tf_generator(rng), _make_tf_discriminator(rng),
+                     _make_tf_generator(np.random.RandomState(1))), f)
+    base = {"backbone": "stylegan2", "network_pkl": str(pkl),
+            "batch_size": 4}
+    fn_q, mcfg = load_model_inference(dict(base, quantize_serving=True))
+    assert "quant" in fn_q.variables
+    fn, _ = load_model_inference(dict(base))
+    zb = np.random.RandomState(0).randn(4, mcfg.z_dim).astype(np.float32)
+    a = np.asarray(fn(zb))
+    b = np.asarray(fn_q(zb))
+    assert np.isfinite(b).all() and a.shape == b.shape
+    rel = np.abs(a - b).mean() / np.abs(a).mean()
+    assert 0 < rel < 0.15, rel
 
 
 def test_float_path_unaffected():
