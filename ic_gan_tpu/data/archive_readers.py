@@ -8,6 +8,12 @@ HDF5-building pipeline here.  Each ``open_*`` returns
 — the reference's reader contract — and ``open_source`` dispatches on the
 path exactly like ``open_dataset`` (``dataset_tool.py:321-343``).
 
+``num_images`` is an UPPER BOUND, not a guarantee: the LSUN-lmdb reader
+(like the reference's) skips undecodable values mid-stream, so its iterator
+may yield fewer rows than ``num_images``.  Consumers must treat the count as
+advisory — size containers from the rows actually received (as
+``as_chw_batches`` does), never pre-allocate-and-wait on the count.
+
 LSUN lmdb runs through the pure-Python ``io.lmdb_reader`` (no ``lmdb`` C
 extension in this environment); image bytes decode via PIL with a cv2
 fallback mirroring the reference's cv2-then-PIL order.
@@ -119,7 +125,11 @@ def _decode_image_bytes(value: bytes) -> np.ndarray:
 
 def open_lsun_lmdb(lmdb_dir: str, max_images: Optional[int] = None):
     """LSUN ``*_lmdb`` directory via the pure-Python b-tree reader
-    (ref ``dataset_tool.py:158-185``)."""
+    (ref ``dataset_tool.py:158-185``).
+
+    The returned count derives from the lmdb entry total; since the iterator
+    skips undecodable values it may yield FEWER than ``n`` rows (see the
+    module docstring: the count is an upper bound)."""
     from ic_gan_tpu.io.lmdb_reader import LMDBReader
 
     reader = LMDBReader(lmdb_dir)

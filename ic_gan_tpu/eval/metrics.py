@@ -97,14 +97,20 @@ def slerp(a: jax.Array, b: jax.Array, t) -> jax.Array:
 def _ppl_prepare_images(img: jax.Array, crop: bool) -> jax.Array:
     """The reference's pre-LPIPS image conditioning
     (``perceptual_path_length.py:88-107``): optional center crop (rows
-    ``3c:7c``, cols ``2c:6c`` with ``c = H//8``), mean-pool downsample to
-    256², grayscale→RGB.  NHWC in [-1, 1] (the [0,255] dynamic-range hop
-    happens inside ``LPIPSEvaluator``)."""
+    ``3c:7c``, cols ``2c:6c`` with ``c = H//8``), mean-pool downsample,
+    grayscale→RGB.  NHWC in [-1, 1] (the [0,255] dynamic-range hop
+    happens inside ``LPIPSEvaluator``).
+
+    The downsample factor is ``G.img_resolution // 256`` — the FULL generator
+    resolution even after cropping shrank the image
+    (``perceptual_path_length.py:92-104``): a cropped 512² image (→ 256²)
+    still pools by 2 to 128²."""
     assert img.shape[1] == img.shape[2], img.shape
+    g_resolution = img.shape[1]  # pre-crop = generator resolution
     if crop:
         c = img.shape[1] // 8
         img = img[:, c * 3 : c * 7, c * 2 : c * 6, :]
-    factor = img.shape[1] // 256
+    factor = g_resolution // 256
     if factor > 1:
         b, h, w, ch = img.shape
         img = img.reshape(b, h // factor, factor, w // factor, factor, ch)

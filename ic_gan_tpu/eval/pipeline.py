@@ -200,6 +200,12 @@ def cached_real_features(
         int(idxs_all[:n].sum()),
         hashlib.md5(idxs_all[:n].tobytes()).hexdigest(),
         evaluator.pretrained,
+        # Compute dtype is part of the feature identity: eval_bf16 shifts
+        # pool features ~2% relative — silently mixing a bf16 real-side
+        # cache with f32 fake features (or vice versa) would leak that
+        # drift into FID/KID/PR with no warning.
+        str(jnp.dtype(evaluator.net.dtype).name)
+        if hasattr(evaluator, "net") else "f32",
     )).encode()
     tag = hashlib.md5(key_src).hexdigest()[:16]
     path = os.path.join(cache_dir, f"real-pool-{tag}.npz")

@@ -90,12 +90,15 @@ def _fold_spectral_norm_impl(variables: Dict[str, Any]) -> Dict[str, Any]:
 
 def cast_params(variables: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
     """Cast floating-point leaves to ``dtype``; BN statistics stay float32
-    (they parameterize a rsqrt)."""
+    (they parameterize a rsqrt), and int8 dequant scales in the ``quant``
+    collection stay float32 (rounding the calibrated ``act_scale``/``wscale``
+    to bf16 would add ~2⁻⁹ systematic per-channel gain error on top of the
+    int8 rounding; the dequant multiply is elementwise — f32 costs nothing)."""
 
     def cast_tree(node, in_stats=False):
         if isinstance(node, dict):
             return {
-                k: cast_tree(v, in_stats or k in ("batch_stats",))
+                k: cast_tree(v, in_stats or k in ("batch_stats", "quant"))
                 for k, v in node.items()
             }
         if in_stats:

@@ -52,6 +52,15 @@ class SG2LoopConfig:
     # TensorBoard event files next to stats.jsonl (ref
     # training_loop.py:389-396,698-715; native writer, no TF).
     enable_tb: bool = True
+    # jax.profiler trace window (ref annotates every SG2 phase:
+    # torch_utils/misc.py:136-142 @profiled_function and per-phase CUDA event
+    # timing at training_loop.py:346-351).  When set, steps
+    # [profile_start, profile_start + profile_steps) are captured to
+    # profile_dir, each under a StepTraceAnnotation whose "phase" label says
+    # which statically-compiled variant ran (main / pl / r1 / pl+r1).
+    profile_dir: Optional[str] = None
+    profile_start: int = 12
+    profile_steps: int = 3
 
 
 class SG2Trainer:
@@ -155,14 +164,30 @@ class SG2Trainer:
             else cfg.total_kimg * 1000 // cfg.batch_size
         )
         while step < total_steps:
+            if cfg.profile_dir and step == cfg.profile_start:
+                jax.profiler.start_trace(cfg.profile_dir)
             batch = self.make_batch()
             do_pl = (step % t.G_reg_interval) == 0 and t.pl_weight != 0
             do_r1 = (step % t.D_reg_interval) == 0 and t.r1_gamma != 0
             rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step)
-            self.state, metrics = self.steps[(do_pl, do_r1)](
-                self.state, batch, rng
+            phase = "+".join(
+                ["main"] + (["pl"] if do_pl else []) + (["r1"] if do_r1 else [])
             )
+            with jax.profiler.StepTraceAnnotation(
+                f"sg2_step/{phase}", step_num=step
+            ):
+                self.state, metrics = self.steps[(do_pl, do_r1)](
+                    self.state, batch, rng
+                )
             step += 1
+            if (
+                cfg.profile_dir
+                and step == cfg.profile_start + cfg.profile_steps
+            ):
+                jax.tree.map(
+                    lambda x: x.block_until_ready(), self.state.g_params
+                )
+                jax.profiler.stop_trace()
             if cfg.ada_enabled and step % t.ada_interval == 0:
                 self.state = ada_update(self.state, t, cfg.batch_size)
 

@@ -196,6 +196,13 @@ def test_cached_real_features_roundtrip(hdf5_dir, tmp_path, monkeypatch):
     with _pytest.raises(AssertionError, match="re-read"):
         cached_real_features(ds, ev, str(tmp_path), n_items=8, batch=8)
 
+    # Different compute dtype (eval_bf16) -> different key: a bf16
+    # evaluator must NOT silently reuse f32-computed pool features (the
+    # documented ~2% pool drift would leak into FID with no warning).
+    ev_bf16 = InceptionEvaluator(batch=8, deploy_bf16=True)
+    with _pytest.raises(AssertionError, match="re-read"):
+        cached_real_features(ds, ev_bf16, str(tmp_path), n_items=12, batch=8)
+
 
 def test_disk_backed_features_match_in_mem(hdf5_dir):
     """load_in_mem_feats=False reads feature rows from the hdf5 per batch

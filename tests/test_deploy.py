@@ -53,6 +53,30 @@ def test_cast_params_keeps_bn_stats_fp32():
             assert leaf.dtype == jnp.float32, path
         elif jnp.issubdtype(leaf.dtype, jnp.floating):
             assert leaf.dtype == jnp.bfloat16, path
+
+
+def test_cast_params_keeps_quant_scales_fp32():
+    """int8 dequant scales (the ``quant`` collection) must survive
+    ``deploy_bf16`` casting in f32 — rounding calibrated scales to bf16 adds
+    ~2^-9 systematic per-channel gain error on top of the int8 rounding."""
+    cfg, g, variables, z, label, feats = build()
+    folded = fold_spectral_norm(variables)
+    folded["quant"] = {
+        "block": {
+            "conv": {
+                "qkernel": jnp.zeros((3, 3, 4, 4), jnp.int8),
+                "wscale": jnp.full((4,), 0.1234567, jnp.float32),
+                "act_scale": jnp.asarray(0.7654321, jnp.float32),
+            }
+        }
+    }
+    cast = cast_params(folded)
+    q = cast["quant"]["block"]["conv"]
+    assert q["wscale"].dtype == jnp.float32
+    assert q["act_scale"].dtype == jnp.float32
+    assert q["qkernel"].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(q["wscale"]),
+                                  np.full((4,), 0.1234567, np.float32))
     out = g.apply(folded, z, label, feats, train=False)
     # bf16 weights: looser tolerance vs the fp32 reference.
     ref = g.apply(variables, z, label, feats, train=False)

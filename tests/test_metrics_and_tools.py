@@ -74,14 +74,17 @@ def test_ppl_prepare_images_matches_reference_math():
     of the reference lines (``perceptual_path_length.py:85-107``)."""
     rng = np.random.RandomState(0)
     for H, C, crop in [(512, 3, True), (512, 1, False), (16, 3, True),
-                       (256, 3, False)]:
+                       (256, 3, False), (1024, 3, True)]:
         nchw = rng.randn(2, C, H, H).astype(np.float32)
         # Reference math, NCHW:
         exp = nchw
         if crop:
             c = H // 8
             exp = exp[:, :, c * 3 : c * 7, c * 2 : c * 6]
-        factor = exp.shape[2] // 256
+        # The reference pools by G.img_resolution // 256 — the FULL (pre-crop)
+        # resolution (perceptual_path_length.py:92-104): 512² cropped → 256²
+        # still pools by 2 to 128².
+        factor = H // 256
         if factor > 1:
             b, ch, h, w = exp.shape
             exp = exp.reshape(b, ch, h // factor, factor, w // factor,
@@ -90,7 +93,13 @@ def test_ppl_prepare_images_matches_reference_math():
             exp = np.repeat(exp, 3, axis=1)
         got = np.asarray(_ppl_prepare_images(
             jnp.asarray(nchw.transpose(0, 2, 3, 1)), crop))
+        assert got.shape == exp.transpose(0, 2, 3, 1).shape, (H, crop)
         np.testing.assert_allclose(got, exp.transpose(0, 2, 3, 1), atol=1e-5)
+    # The high-res crop cases pin the exact geometry the reference produces.
+    assert _ppl_prepare_images(jnp.zeros((1, 512, 512, 3)), True).shape == \
+        (1, 128, 128, 3)
+    assert _ppl_prepare_images(jnp.zeros((1, 1024, 1024, 3)), True).shape == \
+        (1, 128, 128, 3)
 
 
 def test_compute_ppl_end_sampling_and_shared_noise_rng():

@@ -66,6 +66,29 @@ def test_sg2_trainer_runs_with_ada_and_snapshots(env):
     assert float(tr.state.ada_p) >= 0.0
 
 
+def test_sg2_trainer_profiler_trace_capture(env, tmp_path):
+    """profile_dir captures a jax.profiler trace window with per-phase
+    StepTraceAnnotations (ref annotates every SG2 phase,
+    training_loop.py:346-351; mirrors train/trainer.py's BigGAN hook)."""
+    ds, mcfg, tcfg, lcfg = env
+    import dataclasses
+
+    prof_dir = str(tmp_path / "prof")
+    lcfg = dataclasses.replace(
+        lcfg, profile_dir=prof_dir, profile_start=1, profile_steps=2
+    )
+    tr = SG2Trainer(mcfg, tcfg, lcfg, ds)
+    tr.run(max_steps=4)
+    # The trace window must have closed (stop_trace ran) and produced the
+    # standard plugins/profile/<run>/*.trace.json.gz artifact tree.
+    found = []
+    for root, _dirs, files in os.walk(prof_dir):
+        found += [f for f in files if ".trace" in f or f.endswith(".xplane.pb")]
+    assert found, f"no profiler artifacts under {prof_dir}"
+    # And a fifth step after the window must not raise (trace is closed).
+    tr.run(max_steps=1)
+
+
 def test_sg2_trainer_ada_p_moves_with_overfit_signal(env):
     ds, mcfg, tcfg, lcfg = env
     tr = SG2Trainer(mcfg, tcfg, lcfg, ds)
