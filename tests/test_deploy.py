@@ -147,3 +147,60 @@ def test_standing_stats_accumulate_and_reset():
     np.testing.assert_allclose(
         np.asarray(out_again), np.asarray(out_standing), atol=1e-5
     )
+
+
+# --- BigGAN-deep through the serving surface ---------------------------------
+# The reference's inference app resurrects any BigGAN variant including deep
+# (BigGANdeep.py:33-736, inference/utils.py:334-380), so the deployment path
+# (σ-fold → cast → sample) must hold for the bottleneck blocks and the
+# channel-drop shortcut (BigGANdeep.py:67-84) too.
+
+
+def build_deep():
+    from ic_gan_tpu.models.biggan_deep import BigGANDeepConfig
+    from ic_gan_tpu.models.biggan_deep import Generator as DeepGenerator
+
+    # resolution 64 so in_channels > out_channels in upper blocks — the
+    # channel-drop shortcut actually fires (at 32² the table is flat).
+    cfg = BigGANDeepConfig(
+        resolution=64, n_classes=10, G_ch=4, dim_z=16, G_attn="0",
+        G_depth=2, shared_dim=16, shared_dim_feat=24, instance_sz=48,
+        class_cond=True, instance_cond=True,
+    )
+    g = DeepGenerator(cfg)
+    rng = jax.random.PRNGKey(0)
+    z = jax.random.normal(rng, (2, cfg.effective_dim_z))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.instance_sz))
+    label = jnp.asarray([1, 3])
+    variables = jax.jit(
+        lambda: g.init(rng, z, label, feats, train=False))()
+    return cfg, g, variables, z, label, feats
+
+
+def test_deep_folded_matches_unfolded_eval():
+    cfg, g, variables, z, label, feats = build_deep()
+    ref = g.apply(variables, z, label, feats, train=False)
+    folded = fold_spectral_norm(variables)
+    assert "sn" not in folded
+    out = g.apply(folded, z, label, feats, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_deep_cast_params_bf16_close():
+    cfg, g, variables, z, label, feats = build_deep()
+    folded = cast_params(fold_spectral_norm(variables))
+    from flax.traverse_util import flatten_dict
+
+    for path, leaf in flatten_dict(folded).items():
+        if "batch_stats" in path:
+            assert leaf.dtype == jnp.float32, path
+        elif jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.bfloat16, path
+    ref = np.asarray(g.apply(variables, z, label, feats, train=False))
+    out = np.asarray(g.apply(folded, z, label, feats, train=False))
+    assert np.isfinite(out).all()
+    # The 4-conv bottleneck stack is twice as deep as the base model, so
+    # bf16 rounding accumulates more per-pixel; bound the mean drift (the
+    # deployment-relevant statistic) rather than the worst pixel.
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel

@@ -353,3 +353,74 @@ def test_float_path_unaffected():
     out_eval = g.apply(variables, z, None, f, train=False)
     np.testing.assert_allclose(np.asarray(out_eval), np.asarray(out_no_q),
                                rtol=1e-4, atol=1e-5)
+
+
+# --- BigGAN-deep int8 serving -------------------------------------------------
+
+
+def _tiny_deep():
+    from ic_gan_tpu.models.biggan_deep import BigGANDeepConfig
+    from ic_gan_tpu.models.biggan_deep import Generator as DeepGenerator
+
+    # res 64: in_channels > out_channels in the upper blocks, so the
+    # channel-drop shortcut (ref BigGANdeep.py:73-74) is live under quant.
+    cfg = BigGANDeepConfig(
+        resolution=64, n_classes=10, G_ch=4, dim_z=12, G_attn="0",
+        G_depth=2, shared_dim=16, shared_dim_feat=16, instance_sz=24,
+        class_cond=False, instance_cond=True,
+    )
+    g = DeepGenerator(cfg)
+    rng = np.random.RandomState(7)
+    z = jnp.asarray(rng.randn(4, cfg.effective_dim_z), jnp.float32)
+    f = jnp.asarray(rng.randn(4, cfg.instance_sz), jnp.float32)
+    variables = jax.jit(
+        lambda: g.init(jax.random.PRNGKey(0), z, None, f))()
+    return g, variables, z, f
+
+
+def test_deep_calibration_covers_bottleneck_convs():
+    """Every conv of the 4-conv bottleneck (conv1 1×1, conv2 3×3-up,
+    conv3 3×3, conv4 1×1 — ref BigGANdeep.py:33-84) gets a calibration
+    record, and only conv2 carries the polyphase up2x flag."""
+    from ic_gan_tpu.io.deploy import fold_spectral_norm
+
+    g, variables, z, f = _tiny_deep()
+    folded = fold_spectral_norm(variables)
+    scales = calibrate_conv_scales(g, folded, z, None, f, train=False)
+    names = {path[-1] for path in scales}
+    assert {"conv1", "conv2", "conv3", "conv4"} <= names
+    assert all(a > 0 for a, _, _ in scales.values())
+    ups = 0
+    for path, (_, up2x, down) in scales.items():
+        assert not down, path
+        if up2x:
+            # only an upsampling block's conv2 carries the polyphase flag
+            # (non-upsample blocks in the G_depth stack also have a conv2).
+            assert path[-1] == "conv2", path
+            ups += 1
+    assert ups > 0
+
+
+def test_deep_quantized_sampler_end_to_end():
+    from ic_gan_tpu.io.deploy import make_sampler
+
+    g, variables, z, f = _tiny_deep()
+    qv = quantize_variables(g, variables, z, None, f, train=False)
+    assert "sn" not in qv  # folded
+    # The 1×1 bottleneck kernels really are int8 in the quant collection.
+    from flax.traverse_util import flatten_dict
+
+    qflat = flatten_dict(qv["quant"])
+    one_by_one = [p for p in qflat
+                  if p[-1] == "qkernel" and qflat[p].ndim == 4
+                  and qflat[p].shape[:2] == (1, 1)]
+    assert one_by_one, "no quantized 1x1 bottleneck kernels found"
+    assert all(qflat[p].dtype == jnp.int8 for p in one_by_one)
+
+    s_ref = make_sampler(g, variables, batch_size=4)
+    s_q = make_sampler(g, qv, batch_size=4)
+    a = np.asarray(s_ref(z, None, f))
+    b = np.asarray(s_q(z, None, f))
+    assert b.shape == a.shape and np.isfinite(b).all()
+    rel = np.abs(a - b).mean() / np.abs(a).mean()
+    assert 0 < rel < 0.1, rel  # quantized, but close
