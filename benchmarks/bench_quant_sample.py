@@ -46,6 +46,46 @@ def _time_sampler(sampler, z, f, iters=8):
     return best
 
 
+def bench_deep():
+    """BigGAN-deep int8 serving row (same convention, 256² ch96 deep:
+    bottleneck 1×1s + channel-drop shortcuts through the quantized path —
+    serving coverage for PARITY #17)."""
+    from ic_gan_tpu.io.deploy import make_sampler
+    from ic_gan_tpu.io.quant import quantize_variables
+    from ic_gan_tpu.models.biggan_deep import BigGANDeepConfig, Generator
+
+    cfg = BigGANDeepConfig(resolution=256, G_ch=96, G_attn="64",
+                           class_cond=False, instance_cond=True,
+                           dtype=jnp.bfloat16)
+    g = Generator(cfg)
+    z0 = jnp.zeros((1, cfg.effective_dim_z))
+    f0 = jnp.zeros((1, cfg.instance_sz))
+    variables = _fast_variables(g, z0, None, f0, train=False)
+
+    rng = np.random.RandomState(0)
+    z = rng.randn(BATCH, cfg.effective_dim_z).astype(np.float32)
+    f = rng.randn(BATCH, cfg.instance_sz).astype(np.float32)
+    qv = quantize_variables(g, variables, jnp.asarray(z), None,
+                            jnp.asarray(f), train=False)
+    s_bf = make_sampler(g, variables, batch_size=BATCH, dtype=jnp.bfloat16)
+    s_q = make_sampler(g, qv, batch_size=BATCH, dtype=jnp.bfloat16)
+    t_bf = _time_sampler(s_bf, z, f)
+    t_q = _time_sampler(s_q, z, f)
+    a = np.asarray(s_bf(z, None, f)).astype(np.float64)
+    b = np.asarray(s_q(z, None, f)).astype(np.float64)
+    out = {
+        "batch": BATCH, "resolution": 256, "model": "biggan_deep",
+        "bf16_img_s": BATCH / t_bf, "bf16_ms": t_bf * 1e3,
+        "int8_img_s": BATCH / t_q, "int8_ms": t_q * 1e3,
+        "speedup": t_bf / t_q,
+        "img_drift_rel": float(np.abs(a - b).mean() / np.abs(a).mean()),
+    }
+    print(f"deep bf16 sampler: {BATCH/t_bf:7.1f} img/s ({t_bf*1e3:.1f} ms)")
+    print(f"deep int8 sampler: {BATCH/t_q:7.1f} img/s ({t_q*1e3:.1f} ms) "
+          f"= {t_bf/t_q:.2f}x, drift {out['img_drift_rel']:.3e}", flush=True)
+    record("quant_sample_deep", **out)
+
+
 def main():
     from ic_gan_tpu.eval.fid import frechet_distance
     from ic_gan_tpu.eval.pipeline import InceptionEvaluator
@@ -109,4 +149,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--deep" in sys.argv:
+        bench_deep()
+    else:
+        main()

@@ -75,7 +75,16 @@ def calibrate_conv_scales(g_module, variables, *apply_args, **apply_kwargs):
             g_module.apply(v, *args, **apply_kwargs)
         return records
 
-    absmax = jax.jit(run)(variables, *apply_args)
+    from ic_gan_tpu.models import layers as _layers
+
+    # The attention θ/φ/g fusion skips the child SNConv calls in folded
+    # deployment mode — disable it for the calibration trace so every conv
+    # is intercepted (serving re-fuses from the per-conv quant records).
+    _layers._ATTN_FUSION[0] = False
+    try:
+        absmax = jax.jit(run)(variables, *apply_args)
+    finally:
+        _layers._ATTN_FUSION[0] = True
     return {
         path: (float(absmax[path]), up2x, down2x)
         for path, (up2x, down2x) in meta.items()
@@ -131,6 +140,7 @@ def quantize_variables(g_module, variables, *calib_args, **apply_kwargs):
 
 def quantize_stylegan2_variables(g_module, variables, *calib_args,
                                  resample_filter=(1, 3, 3, 1),
+                                 per_channel_act: bool = True,
                                  **apply_kwargs):
     """int8 serving mode for the StyleGAN2 backbone.
 
@@ -138,9 +148,15 @@ def quantize_stylegan2_variables(g_module, variables, *calib_args,
     (``modulated_conv2d``: ``conv(x·s, w)`` then demod), so the weight is
     static per checkpoint and quantizes exactly like a plain conv:
       - per-output-channel int8 weight scales,
-      - per-layer per-tensor activation scales calibrated on the
+      - per-layer **per-input-channel** activation scales calibrated on the
         **modulated** input ``x·s`` (sown by ``_layer_quant`` during a
-        calibration forward),
+        calibration forward).  The channel scale is folded into the weight
+        before weight quantization (``conv(x·s, w) == conv((x·s)/a, w·a)``),
+        so serving still dequantizes with one per-output-channel multiply.
+        Per-channel is the default because per-sample style modulation makes
+        per-tensor absmax collapse most channels onto few int8 levels
+        (measured 7.1% image drift per-tensor; ``per_channel_act=False``
+        restores the old scheme),
       - ``up=2`` layers quantize the four *composite polyphase* kernels
         (w ⊛ FIR, phase-split — ``ops/conv_resample._conv_up2_polyphase``),
         so FIR filtering rides the int8 MXU pass too and the transformed
@@ -181,7 +197,7 @@ def quantize_stylegan2_variables(g_module, variables, *calib_args,
             for k, v in tree.items():
                 yield from leaves(v, path + (k,))
 
-    entries = [(path, float(np.asarray(node["absmax"])),
+    entries = [(path, np.asarray(node["absmax"], np.float32),
                 int(np.asarray(node["up"])))
                for path, node in leaves(calib_tree)]
 
@@ -194,11 +210,22 @@ def quantize_stylegan2_variables(g_module, variables, *calib_args,
         quant: Dict[str, Any] = {}
         for path, absmax, up in entries:
             w = get_node(params, path)["weight"].astype(jnp.float32)
+            if per_channel_act:
+                # Per-input-channel activation scale (vector over I); fold
+                # it into the weight so dequant stays per-output-channel.
+                av = jnp.asarray(np.maximum(absmax, 1e-30) / 127.0)
+                w = w * av[None, None, :, None]
+                act_scale = av
+            else:
+                act_scale = jnp.float32(
+                    max(float(absmax.max()), 1e-30) / 127.0)
             if up == 1:
                 qk, ws = _quantize_kernel(w)
             elif up == 2 and w.shape[0] == 3 and w.shape[1] == 3:
                 # flip_weight=False for up=2 (conv semantics) → compose the
                 # FLIPPED kernel with the FIR, exactly as conv2d_resample.
+                # (Per-input-channel folding commutes with the spatial
+                # composition — a scales the I axis, the FIR the H/W axes.)
                 K = _compose_kernel(jnp.flip(w, axis=(0, 1)), f2d)
                 qs = [
                     _quantize_kernel(K[(3 - a) % 2:: 2, (3 - b) % 2:: 2])
@@ -212,7 +239,7 @@ def quantize_stylegan2_variables(g_module, variables, *calib_args,
             for p in path[:-1]:
                 node = node.setdefault(p, {})
             node[path[-1]] = {
-                "act_scale": jnp.float32(max(absmax, 1e-30) / 127.0),
+                "act_scale": act_scale,
                 "qkernel": qk,
                 "wscale": ws,
             }

@@ -494,6 +494,12 @@ class ScaledBatchNorm(nn.Module):
         return out * gain + bias
 
 
+# Deployment-mode θ/φ/g fusion switch (list so callers mutate in place).
+# ``io/quant.calibrate_conv_scales`` turns it off during its calibration
+# forward: the per-conv interceptor needs the child SNConvs to actually run.
+_ATTN_FUSION = [True]
+
+
 class SelfAttention(nn.Module):
     """SA-GAN non-local block (ref ``Attention``, ``layers.py:206-244``).
 
@@ -516,9 +522,15 @@ class SelfAttention(nn.Module):
             num_svs=self.num_svs, num_itrs=self.num_itrs, dtype=self.dtype,
             name=name,
         )
-        theta = conv(ch // 8, "theta")(x, update_sn)
-        phi = max_pool_2x(conv(ch // 8, "phi")(x, update_sn))
-        g = max_pool_2x(conv(ch // 2, "g")(x, update_sn))
+        fused = self._fused_qkv(x)
+        if fused is not None:
+            theta, phi, g = fused
+            phi = max_pool_2x(phi)
+            g = max_pool_2x(g)
+        else:
+            theta = conv(ch // 8, "theta")(x, update_sn)
+            phi = max_pool_2x(conv(ch // 8, "phi")(x, update_sn))
+            g = max_pool_2x(conv(ch // 2, "g")(x, update_sn))
 
         theta = theta.reshape(N, H * W, ch // 8)
         phi = phi.reshape(N, H * W // 4, ch // 8)
@@ -560,6 +572,55 @@ class SelfAttention(nn.Module):
         o = conv(ch, "o")(o, update_sn)
         gamma = self.param("gamma", nn.initializers.zeros, (), jnp.float32)
         return gamma * o + x
+
+    def _fused_qkv(self, x):
+        """Deployment-mode fusion of the θ/φ/g 1×1 projections into ONE
+        matmul (same math, same parameters, read from the child scopes).
+
+        θ and φ emit ch/8 channels — e.g. 48 at the 256² sampler's attention
+        block, under the MXU's 128 lanes, so three separate dots waste
+        ~2/3 of the array on the two thin ones AND read the (N,H,W,C)
+        input from HBM three times.  Concatenated, the projection is one
+        C→(ch/8+ch/8+ch/2) dot (384→288 at ch96: 2.25 full lane tiles) with
+        one input read.  Only active once spectral norm is folded
+        (``io/deploy``) — training keeps per-weight SN power iteration —
+        and composes with int8 serving (the three child quant records share
+        one activation scale, since they calibrate on the same input).
+        """
+        ch = self.features
+        if (not _ATTN_FUSION[0] or self.is_initializing()
+                or self.has_variable("sn", "u")
+                or not self.has_variable("params", "theta")):
+            return None
+        get = lambda name: self.get_variable("params", name)["kernel"]
+        splits = (ch // 8, ch // 4)  # [θ | φ | g] boundaries
+        if self.has_variable("quant", "theta"):
+            q = lambda name: self.get_variable("quant", name)
+            qt, qp, qg = q("theta"), q("phi"), q("g")
+            # One calibration input → one activation scale (they are equal
+            # by construction; use θ's).
+            sx = qt["act_scale"]
+            qk = jnp.concatenate(
+                [qt["qkernel"], qp["qkernel"], qg["qkernel"]], axis=-1)
+            ws = jnp.concatenate(
+                [qt["wscale"], qp["wscale"], qg["wscale"]], axis=-1)
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / sx), -127, 127
+            ).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, qk, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            ).astype(self.dtype) * (ws * sx).astype(self.dtype)
+        else:
+            wf = jnp.concatenate(
+                [get("theta"), get("phi"), get("g")], axis=-1)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), wf.astype(self.dtype), (1, 1),
+                ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return jnp.split(y, splits, axis=-1)
 
 
 class GBlock(nn.Module):

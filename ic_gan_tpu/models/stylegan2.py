@@ -98,21 +98,31 @@ def modulated_conv2d(
         sx = quant["act_scale"]
         qk = quant["qkernel"]
         ws = quant["wscale"]
+        # Per-channel activation scales (sx: vector over input channels):
+        # the per-input-channel scale is folded into the weights at
+        # calibration time (conv(xm, w) == conv(xm/a, w·a)), so the dequant
+        # multiplier is the weight scale alone.  Per-tensor (sx: scalar):
+        # dequant carries sx explicitly.  Per-channel spends the int8 range
+        # per channel — the fix for per-sample style modulation blowing up
+        # a single per-tensor absmax (README: 7.1% image drift in r4).
+        per_channel = getattr(sx, "ndim", 0) >= 1
         xq = jnp.clip(
             jnp.round(_f32p(xm) / sx), -127, 127
         ).astype(jnp.int8)
         if up == 1 and down == 1:
+            deq = ws if per_channel else ws * sx
             y = jax.lax.conv_general_dilated(
                 xq, qk, (1, 1), ((padding, padding), (padding, padding)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
-            ).astype(x.dtype) * (ws * sx).astype(x.dtype)
+            ).astype(x.dtype) * deq.astype(x.dtype)
         else:  # up == 2 composite polyphase (qk: (3,3,I,4O), ws: (4,O))
+            deq = ws.reshape(-1) if per_channel else ws.reshape(-1) * sx
             y = jax.lax.conv_general_dilated(
                 xq, qk, (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
-            ).astype(x.dtype) * (ws.reshape(-1) * sx).astype(x.dtype)
+            ).astype(x.dtype) * deq.astype(x.dtype)
             n, h, wd = xm.shape[0], xm.shape[1], xm.shape[2]
             y = y.reshape(n, h, wd, 2, 2, out_ch)
             y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
@@ -149,9 +159,19 @@ def _layer_quant(mod: nn.Module, x, styles, up: int):
             "wscale": mod.get_variable("quant", "wscale"),
         }
     if not mod.is_initializing():
-        m = jnp.max(jnp.abs(_f32p(x * styles.astype(x.dtype)[:, None, None, :])))
+        # Per-INPUT-CHANNEL absmax of the modulated input: the style scale
+        # s varies per sample per channel, so a single per-tensor absmax is
+        # dominated by the hottest channel and starves the rest of int8
+        # levels; the per-channel vector lets the quantizer spend the full
+        # range on every channel (folded into the weights downstream).
+        n_ch = x.shape[-1]
+        m = jnp.max(
+            jnp.abs(_f32p(x * styles.astype(x.dtype)[:, None, None, :])),
+            axis=(0, 1, 2),
+        )
         mod.sow("quant_calib", "absmax", m,
-                init_fn=lambda: jnp.float32(0.0), reduce_fn=jnp.maximum)
+                init_fn=lambda: jnp.zeros((n_ch,), jnp.float32),
+                reduce_fn=jnp.maximum)
         mod.sow("quant_calib", "up", jnp.float32(up),
                 init_fn=lambda: jnp.float32(up), reduce_fn=lambda a, b: b)
     return None

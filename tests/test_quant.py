@@ -424,3 +424,76 @@ def test_deep_quantized_sampler_end_to_end():
     assert b.shape == a.shape and np.isfinite(b).all()
     rel = np.abs(a - b).mean() / np.abs(a).mean()
     assert 0 < rel < 0.1, rel  # quantized, but close
+
+
+def test_sg2_per_channel_act_scales_beat_per_tensor():
+    """Per-input-channel activation scales (default) must cut the SG2
+    quantization drift vs the per-tensor scheme on the same generator —
+    per-sample style modulation makes per-tensor absmax collapse most
+    channels onto a few int8 levels (the r4 7.1% image-drift finding)."""
+    from ic_gan_tpu.io.deploy import make_sampler
+    from ic_gan_tpu.io.quant import quantize_stylegan2_variables
+
+    g, variables, z, h = _tiny_sg2()
+    qv_pc = quantize_stylegan2_variables(
+        g, variables, z, None, h, noise_mode="const")
+    qv_pt = quantize_stylegan2_variables(
+        g, variables, z, None, h, noise_mode="const", per_channel_act=False)
+    # Per-channel trees carry vector act scales; per-tensor scalar ones.
+    from flax.traverse_util import flatten_dict
+
+    pc_scales = [v for p, v in flatten_dict(qv_pc["quant"]).items()
+                 if p[-1] == "act_scale"]
+    pt_scales = [v for p, v in flatten_dict(qv_pt["quant"]).items()
+                 if p[-1] == "act_scale"]
+    assert pc_scales and all(s.ndim == 1 for s in pc_scales)
+    assert pt_scales and all(s.ndim == 0 for s in pt_scales)
+
+    ref = np.asarray(make_sampler(g, variables, batch_size=4,
+                                  noise_mode="const")(z, None, h))
+    out_pc = np.asarray(make_sampler(g, qv_pc, batch_size=4,
+                                     noise_mode="const")(z, None, h))
+    out_pt = np.asarray(make_sampler(g, qv_pt, batch_size=4,
+                                     noise_mode="const")(z, None, h))
+    d_pc = np.abs(out_pc - ref).mean() / np.abs(ref).mean()
+    d_pt = np.abs(out_pt - ref).mean() / np.abs(ref).mean()
+    assert np.isfinite(out_pc).all()
+    assert d_pc < d_pt, (d_pc, d_pt)
+    assert d_pc < 0.03, d_pc
+
+
+def test_attention_fused_qkv_matches_per_conv():
+    """Deployment-mode θ/φ/g fusion (one 1×1 conv, models/layers.py
+    _fused_qkv) must equal the three per-conv projections exactly — same
+    params, same math — in both float and int8 serving modes."""
+    from ic_gan_tpu.io.deploy import fold_spectral_norm
+    from ic_gan_tpu.models import layers as L
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    mod = L.SelfAttention(16)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    folded = fold_spectral_norm(variables)
+
+    out_fused = mod.apply(folded, x)
+    try:
+        L._ATTN_FUSION[0] = False
+        out_ref = mod.apply(folded, x)
+    finally:
+        L._ATTN_FUSION[0] = True
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # int8 serving mode: fused consumption of the per-conv quant records.
+    qv = quantize_variables(mod, variables, x)
+    sxs = [np.asarray(qv["quant"][n]["act_scale"]) for n in
+           ("theta", "phi", "g")]
+    assert sxs[0] == sxs[1] == sxs[2]  # one input -> one activation scale
+    out_qf = mod.apply(qv, x)
+    try:
+        L._ATTN_FUSION[0] = False
+        out_qr = mod.apply(qv, x)
+    finally:
+        L._ATTN_FUSION[0] = True
+    np.testing.assert_allclose(np.asarray(out_qf), np.asarray(out_qr),
+                               rtol=1e-5, atol=1e-6)
