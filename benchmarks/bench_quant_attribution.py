@@ -75,6 +75,7 @@ def main():
 
     def run_block(label, mod, args, kwargs):
         nonlocal tot_bf, tot_q
+        t0 = time.time()
         variables = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), *args,
                                              **kwargs))()
         folded = fold_spectral_norm(variables)
@@ -84,6 +85,9 @@ def main():
         rows.append((label, t_bf, t_q))
         tot_bf += t_bf * 1e3
         tot_q += t_q * 1e3
+        print(f"{label:32s} bf16 {t_bf*1e3:7.2f} ms  int8 {t_q*1e3:7.2f} ms "
+              f"= {t_bf/t_q:4.2f}x   [{time.time()-t0:.0f}s incl. compiles]",
+              flush=True)
 
     for i, (cin, cout, res) in enumerate(
         zip(arch["in_channels"], arch["out_channels"], arch["resolution"])
@@ -103,8 +107,6 @@ def main():
 
     for label, t_bf, t_q in rows:
         sp = t_bf / t_q
-        print(f"{label:32s} bf16 {t_bf*1e3:7.2f} ms  int8 {t_q*1e3:7.2f} ms "
-              f"= {sp:4.2f}x", flush=True)
         key = label.split()[0].replace(".", "_")
         out[f"{key}_bf16_ms"] = t_bf * 1e3
         out[f"{key}_int8_ms"] = t_q * 1e3
