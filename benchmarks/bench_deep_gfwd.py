@@ -144,12 +144,15 @@ def main():
             rows.append((label, t_blk, fl_blk, t_c, t1 + t4, tm1 + tm4))
             tot_block += t_blk * 1e3
             tot_ceiling += t_c * 1e3
+            # Print as measured: relay compiles are slow and an end-only
+            # dump leaves a partial run silent for its whole duration.
+            print(f"{label:12s} block {t_blk*1e3:7.2f} ms "
+                  f"({fl_blk/t_blk/1e12:5.1f} TFLOP/s)  bare-convs "
+                  f"{t_c*1e3:7.2f} ms (ratio {t_blk/t_c:4.2f})  1x1conv "
+                  f"{(t1+t4)*1e3:6.2f} ms vs tok-matmul "
+                  f"{(tm1+tm4)*1e3:6.2f} ms", flush=True)
 
     for label, t_blk, fl, t_c, t_conv1x1, t_tok in rows:
-        print(f"{label:12s} block {t_blk*1e3:7.2f} ms "
-              f"({fl/t_blk/1e12:5.1f} TFLOP/s)  bare-convs {t_c*1e3:7.2f} ms "
-              f"(ratio {t_blk/t_c:4.2f})  1x1conv {t_conv1x1*1e3:6.2f} ms "
-              f"vs tok-matmul {t_tok*1e3:6.2f} ms", flush=True)
         key = label.replace(".", "_")
         out[f"{key}_block_ms"] = t_blk * 1e3
         out[f"{key}_tflops"] = fl / t_blk / 1e12
