@@ -91,13 +91,21 @@ def calibrate_conv_scales(g_module, variables, *apply_args, **apply_kwargs):
     }
 
 
-def quantize_variables(g_module, variables, *calib_args, **apply_kwargs):
+def quantize_variables(g_module, variables, *calib_args,
+                       skip_attention: bool = True, **apply_kwargs):
     """σ-fold ``variables`` and add a ``quant`` collection holding int8
     kernels + scales for every SNConv the generator runs (except ``down2x``).
 
     ``calib_args`` are one representative ``g_module.apply`` input tuple
     (z, label, feats, ...); pass several batches by calling
     ``calibrate_conv_scales`` yourself and widening the scales.
+
+    ``skip_attention`` (default True) leaves the SA-GAN attention blocks'
+    θ/φ/g/o 1×1 projections in bf16: the block's FLOPs sit in the two
+    softmax dots which stay bf16 either way, so int8 projections only add
+    quant/dequant elementwise traffic on the 64² tensor — measured **0.88×**
+    (slower than bf16) at the 256² sampler's attention block
+    (``benchmarks/results/quant_attribution.json``).
     """
     if "sn" in variables:
         variables = fold_spectral_norm(variables)
@@ -114,6 +122,8 @@ def quantize_variables(g_module, variables, *calib_args, **apply_kwargs):
         quant: Dict[str, Any] = {}
         for path, (absmax, up2x, down2x) in scales.items():
             if down2x:
+                continue
+            if skip_attention and any(p.startswith("attn") for p in path):
                 continue
             kernel = get_node(params, path)["kernel"].astype(jnp.float32)
             if up2x:

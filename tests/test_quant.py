@@ -149,6 +149,37 @@ def test_quantized_sampler_end_to_end():
     assert 0 < rel < 0.1, rel  # quantized, but close
 
 
+def test_attention_skipped_by_default():
+    """skip_attention=True (default) leaves the attn block bf16 — measured
+    0.88× in int8 (benchmarks/results/quant_attribution.json); False still
+    quantizes it (exercising the fused int8 θ/φ/g serving branch)."""
+    g, variables, z, f = _tiny_gen()
+
+    def attn_paths(tree, path=()):
+        if isinstance(tree, dict) and "qkernel" in tree:
+            if any(p.startswith("attn") for p in path):
+                yield path
+            return
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                yield from attn_paths(v, path + (k,))
+
+    qv = quantize_variables(g, variables, z, None, f, train=False)
+    assert not list(attn_paths(qv["quant"]))
+
+    qv_full = quantize_variables(g, variables, z, None, f,
+                                 skip_attention=False, train=False)
+    quantized = {p[-1] for p in attn_paths(qv_full["quant"])}
+    assert {"theta", "phi", "g", "o"} <= quantized
+    from ic_gan_tpu.io.deploy import make_sampler
+
+    out = np.asarray(make_sampler(g, qv_full, batch_size=4)(z, None, f))
+    ref = np.asarray(make_sampler(g, variables, batch_size=4)(z, None, f))
+    assert np.isfinite(out).all()
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert 0 < rel < 0.1, rel
+
+
 def test_cli_quantize_serving(tmp_path):
     """load_model_inference(quantize_serving=True) serves the int8 path."""
     from ic_gan_tpu.cli.inference import load_model_inference
