@@ -148,7 +148,9 @@ def main():
     report("o_conv", t_oconv, 2 * N * Lq * dv * CH)
 
     ofull = jnp.asarray(rng.randn(N, RES, RES, CH), jnp.bfloat16)
-    t_res = _time_fn(lambda oo: jnp.bfloat16(0.7) * oo + x, (ofull,))
+    # x as an explicit arg: a 402 MB closure constant gets baked into the
+    # remote-compile payload and the relay rejects it (HTTP 413).
+    t_res = _time_fn(lambda oo, xx: jnp.bfloat16(0.7) * oo + xx, (ofull, x))
     report("residual", t_res, extra="(pure HBM: 3×302 MB)")
 
     pieces = t_qkv + t_pool + t_core + t_oconv + t_res

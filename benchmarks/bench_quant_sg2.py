@@ -67,29 +67,57 @@ def main():
     z = rng.randn(BATCH, cfg.z_dim).astype(np.float32)
     h = rng.randn(BATCH, cfg.h_dim).astype(np.float32)
 
-    qv = quantize_stylegan2_variables(
-        g, variables, jnp.asarray(z), None, jnp.asarray(h),
-        noise_mode="const")
+    # Three int8 activation-scale schemes, A/B'd in ONE process so the
+    # comparison is controlled (the relay chip's rate drifts run-to-run):
+    #   pt  — per-tensor static absmax (the r4 scheme: 7.1% drift),
+    #   pc  — per-input-channel static, folded into the weights,
+    #   dyn — pc + per-sample dynamic range boost (the default).
+    qvs = {
+        "pt": quantize_stylegan2_variables(
+            g, variables, jnp.asarray(z), None, jnp.asarray(h),
+            noise_mode="const", per_channel_act=False, act_dynamic=False),
+        "pc": quantize_stylegan2_variables(
+            g, variables, jnp.asarray(z), None, jnp.asarray(h),
+            noise_mode="const", act_dynamic=False),
+        "dyn": quantize_stylegan2_variables(
+            g, variables, jnp.asarray(z), None, jnp.asarray(h),
+            noise_mode="const"),
+    }
     s_bf = make_sampler(g, variables, batch_size=BATCH, noise_mode="const")
-    s_q = make_sampler(g, qv, batch_size=BATCH, noise_mode="const")
+    samplers = {k: make_sampler(g, v, batch_size=BATCH, noise_mode="const")
+                for k, v in qvs.items()}
 
     t_bf = _time_sampler(s_bf, z, h)
-    t_q = _time_sampler(s_q, z, h)
     out = {
         "batch": BATCH, "resolution": 256, "channel_base": cfg.channel_base,
         "h_dim": cfg.h_dim,
         "bf16_img_s": BATCH / t_bf, "bf16_ms": t_bf * 1e3,
+    }
+    print(f"sg2 bf16 sampler: {BATCH/t_bf:7.1f} img/s ({t_bf*1e3:.1f} ms)",
+          flush=True)
+    # Drift on a FRESH (non-calibration) stream — that is what dynamic
+    # adaptation exists for.
+    rng2 = np.random.RandomState(7)
+    z2 = rng2.randn(BATCH, cfg.z_dim).astype(np.float32)
+    h2 = rng2.randn(BATCH, cfg.h_dim).astype(np.float32)
+    a = np.asarray(s_bf(z2, None, h2)).astype(np.float64)
+    for k, s in samplers.items():
+        t = _time_sampler(s, z, h)
+        b = np.asarray(s(z2, None, h2)).astype(np.float64)
+        drift = float(np.abs(a - b).mean() / np.abs(a).mean())
+        out[f"{k}_ms"] = t * 1e3
+        out[f"{k}_speedup"] = t_bf / t
+        out[f"{k}_img_drift_rel"] = drift
+        print(f"sg2 int8[{k:3s}]:  {BATCH/t:7.1f} img/s ({t*1e3:.1f} ms) "
+              f"= {t_bf/t:.2f}x   drift {drift:.3e}", flush=True)
+    # Headline fields = the default scheme (dyn).
+    s_q = samplers["dyn"]
+    t_q = out["dyn_ms"] / 1e3
+    out.update({
         "int8_img_s": BATCH / t_q, "int8_ms": t_q * 1e3,
         "speedup": t_bf / t_q,
-    }
-    print(f"sg2 bf16 sampler: {BATCH/t_bf:7.1f} img/s ({t_bf*1e3:.1f} ms)")
-    print(f"sg2 int8 sampler: {BATCH/t_q:7.1f} img/s ({t_q*1e3:.1f} ms) "
-          f"= {t_bf/t_q:.2f}x", flush=True)
-
-    # --- numeric cost on an identical stream ------------------------------
-    a = np.asarray(s_bf(z, None, h)).astype(np.float64)
-    b = np.asarray(s_q(z, None, h)).astype(np.float64)
-    out["img_drift_rel"] = float(np.abs(a - b).mean() / np.abs(a).mean())
+        "img_drift_rel": out["dyn_img_drift_rel"],
+    })
 
     ev = InceptionEvaluator(deploy_bf16=True)
     n_fid = 2560

@@ -151,6 +151,7 @@ def quantize_variables(g_module, variables, *calib_args,
 def quantize_stylegan2_variables(g_module, variables, *calib_args,
                                  resample_filter=(1, 3, 3, 1),
                                  per_channel_act: bool = True,
+                                 act_dynamic: bool = True,
                                  **apply_kwargs):
     """int8 serving mode for the StyleGAN2 backbone.
 
@@ -167,6 +168,15 @@ def quantize_stylegan2_variables(g_module, variables, *calib_args,
         per-tensor absmax collapse most channels onto few int8 levels
         (measured 7.1% image drift per-tensor; ``per_channel_act=False``
         restores the old scheme),
+      - per-sample **dynamic** range adaptation (``act_dynamic``, default
+        on): serving computes one scalar per sample,
+        ``g_n = 127/max|x_n/a|``, boosts the pre-quant input by it and
+        undoes it in the dequant epilogue.  The static absmax covers the
+        hottest calibration sample; a per-sample scalar commutes with the
+        conv's channel contraction (a per-sample-per-channel scale would
+        not), so samples with smaller style magnitudes get the full int8
+        range and out-of-calibration samples never clip.  Cost: one fused
+        reduce-max over the already-materialized pre-quant tensor,
       - ``up=2`` layers quantize the four *composite polyphase* kernels
         (w ⊛ FIR, phase-split — ``ops/conv_resample._conv_up2_polyphase``),
         so FIR filtering rides the int8 MXU pass too and the transformed
@@ -253,6 +263,10 @@ def quantize_stylegan2_variables(g_module, variables, *calib_args,
                 "qkernel": qk,
                 "wscale": ws,
             }
+            if act_dynamic:
+                # Marker leaf: its presence in the layer's quant dict is the
+                # (trace-static) switch for the per-sample dynamic path.
+                node[path[-1]]["act_dynamic"] = jnp.int8(1)
         return quant
 
     out = dict(variables)

@@ -106,9 +106,21 @@ def modulated_conv2d(
         # per channel — the fix for per-sample style modulation blowing up
         # a single per-tensor absmax (README: 7.1% image drift in r4).
         per_channel = getattr(sx, "ndim", 0) >= 1
-        xq = jnp.clip(
-            jnp.round(_f32p(xm) / sx), -127, 127
-        ).astype(jnp.int8)
+        xs = _f32p(xm) / sx
+        # Dynamic per-SAMPLE range adaptation (marker leaf in the quant
+        # collection, ``io/quant.quantize_stylegan2_variables(act_dynamic)``):
+        # the static absmax covers the hottest calibration sample, so a
+        # sample whose style magnitudes are smaller uses only a fraction of
+        # the int8 levels.  A per-sample scalar g_n = 127/max|x_n/sx| is
+        # exact algebra (it commutes with the conv's I-contraction, unlike a
+        # per-sample-per-channel scale) and also removes clipping for
+        # out-of-calibration samples (t_n > 127 → g_n < 1).
+        dyn = "act_dynamic" in quant
+        if dyn:
+            t = jnp.maximum(
+                jnp.max(jnp.abs(xs), axis=(1, 2, 3), keepdims=True), 1e-30)
+            xs = xs * (127.0 / t)
+        xq = jnp.clip(jnp.round(xs), -127, 127).astype(jnp.int8)
         if up == 1 and down == 1:
             deq = ws if per_channel else ws * sx
             y = jax.lax.conv_general_dilated(
@@ -127,6 +139,10 @@ def modulated_conv2d(
             y = y.reshape(n, h, wd, 2, 2, out_ch)
             y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
             y = y.reshape(n, 2 * h, 2 * wd, out_ch)
+        if dyn:
+            # Undo the per-sample boost: scalar per sample, fuses into the
+            # dequant elementwise chain.
+            y = y * (t * (1.0 / 127.0)).astype(x.dtype)
         x = y
     else:
         x = x * styles.astype(x.dtype)[:, None, None, :]
@@ -153,11 +169,14 @@ def _layer_quant(mod: nn.Module, x, styles, up: int):
     dead code) unless an apply makes that collection mutable.
     """
     if not mod.is_initializing() and mod.has_variable("quant", "act_scale"):
-        return {
+        q = {
             "act_scale": mod.get_variable("quant", "act_scale"),
             "qkernel": mod.get_variable("quant", "qkernel"),
             "wscale": mod.get_variable("quant", "wscale"),
         }
+        if mod.has_variable("quant", "act_dynamic"):
+            q["act_dynamic"] = mod.get_variable("quant", "act_dynamic")
+        return q
     if not mod.is_initializing():
         # Per-INPUT-CHANNEL absmax of the modulated input: the style scale
         # s varies per sample per channel, so a single per-tensor absmax is

@@ -493,6 +493,72 @@ def test_sg2_per_channel_act_scales_beat_per_tensor():
     assert d_pc < 0.03, d_pc
 
 
+def test_sg2_dynamic_act_scale_matches_algebra_and_cuts_drift():
+    """Per-sample dynamic range adaptation (``act_dynamic``, default on):
+    (a) the serving branch equals the explicit quantize→conv→dequant algebra
+    with the per-sample boost g_n = 127/max|x_n/a| applied and undone, and
+    (b) it strictly cuts drift vs the static per-channel scheme on the tiny
+    generator (the static absmax covers only the hottest calibration
+    sample)."""
+    from ic_gan_tpu.io.deploy import make_sampler
+    from ic_gan_tpu.io.quant import quantize_stylegan2_variables
+    from ic_gan_tpu.models.stylegan2 import modulated_conv2d
+
+    # (a) algebra on one layer, per-tensor scale for clarity.
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(3, 8, 8, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 6, 10).astype(np.float32) * 0.2)
+    styles = jnp.asarray(np.exp(rng.randn(3, 6)).astype(np.float32))
+    xm = np.asarray(x) * np.asarray(styles)[:, None, None, :]
+    sx = float(np.abs(xm).max()) / 127.0 * 2.0  # loose scale: boost must act
+    qk, ws = _quantize_kernel(w)
+    got = modulated_conv2d(
+        x, w, styles, padding=1,
+        quant={"act_scale": jnp.float32(sx), "qkernel": qk, "wscale": ws,
+               "act_dynamic": jnp.int8(1)},
+    )
+    xs = xm / sx
+    t = np.maximum(np.abs(xs).max(axis=(1, 2, 3), keepdims=True), 1e-30)
+    xq = np.clip(np.round(xs * (127.0 / t)), -127, 127)
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(xq, jnp.float32), jnp.asarray(qk, jnp.float32),
+        (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) * (ws * sx) * jnp.asarray(t / 127.0, jnp.float32)
+    w2 = jnp.sum(jnp.square(w), axis=(0, 1))
+    d = jax.lax.rsqrt(jnp.square(styles) @ w2 + 1e-8)
+    ref = y * d[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # (b) drift: dynamic (default) ≤ static per-channel on unseen samples.
+    g, variables, z, h = _tiny_sg2()
+    qv_dyn = quantize_stylegan2_variables(
+        g, variables, z, None, h, noise_mode="const")
+    qv_static = quantize_stylegan2_variables(
+        g, variables, z, None, h, noise_mode="const", act_dynamic=False)
+    from flax.traverse_util import flatten_dict
+
+    assert any(p[-1] == "act_dynamic"
+               for p in flatten_dict(qv_dyn["quant"]))
+    assert not any(p[-1] == "act_dynamic"
+                   for p in flatten_dict(qv_static["quant"]))
+    # Fresh (non-calibration) stream: dynamic scaling is what adapts.
+    rng2 = np.random.RandomState(77)
+    z2 = jnp.asarray(rng2.randn(*np.asarray(z).shape).astype(np.float32))
+    h2 = jnp.asarray(rng2.randn(*np.asarray(h).shape).astype(np.float32))
+    ref_img = np.asarray(make_sampler(g, variables, batch_size=4,
+                                      noise_mode="const")(z2, None, h2))
+    out_dyn = np.asarray(make_sampler(g, qv_dyn, batch_size=4,
+                                      noise_mode="const")(z2, None, h2))
+    out_sta = np.asarray(make_sampler(g, qv_static, batch_size=4,
+                                      noise_mode="const")(z2, None, h2))
+    d_dyn = np.abs(out_dyn - ref_img).mean() / np.abs(ref_img).mean()
+    d_sta = np.abs(out_sta - ref_img).mean() / np.abs(ref_img).mean()
+    assert np.isfinite(out_dyn).all()
+    assert d_dyn < d_sta, (d_dyn, d_sta)
+
+
 def test_attention_fused_qkv_matches_per_conv():
     """Deployment-mode θ/φ/g fusion (one 1×1 conv, models/layers.py
     _fused_qkv) must equal the three per-conv projections exactly — same
