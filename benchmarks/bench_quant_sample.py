@@ -61,6 +61,24 @@ def bench_deep():
     z0 = jnp.zeros((1, cfg.effective_dim_z))
     f0 = jnp.zeros((1, cfg.instance_sz))
     variables = _fast_variables(g, z0, None, f0, train=False)
+    # _fast_variables fills BN running vars with ~0.02 → rsqrt ≈ 7×
+    # amplification per BN.  The base model's chain tolerates that in bf16;
+    # the deep model's ~50-block chain overflows to inf (r5: "drift nan").
+    # Neutral stats keep the chain finite, and damping each bottleneck's
+    # output 1×1 keeps the residual stream inside tanh's responsive range so
+    # the drift number measures the convs, not saturation.  Values only —
+    # the timed graph is unchanged.
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree_util.tree_map_with_path(
+        lambda p, a: (jnp.zeros_like(a)
+                      if "mean" in jax.tree_util.keystr(p)
+                      else jnp.ones_like(a)),
+        variables["batch_stats"],
+    )
+    variables["params"] = jax.tree_util.tree_map_with_path(
+        lambda p, a: (a * 0.05 if "conv4" in jax.tree_util.keystr(p) else a),
+        variables["params"],
+    )
 
     rng = np.random.RandomState(0)
     z = rng.randn(BATCH, cfg.effective_dim_z).astype(np.float32)

@@ -106,7 +106,6 @@ def modulated_conv2d(
         # per channel — the fix for per-sample style modulation blowing up
         # a single per-tensor absmax (README: 7.1% image drift in r4).
         per_channel = getattr(sx, "ndim", 0) >= 1
-        xs = _f32p(xm) / sx
         # Dynamic per-SAMPLE range adaptation (marker leaf in the quant
         # collection, ``io/quant.quantize_stylegan2_variables(act_dynamic)``):
         # the static absmax covers the hottest calibration sample, so a
@@ -114,12 +113,20 @@ def modulated_conv2d(
         # the int8 levels.  A per-sample scalar g_n = 127/max|x_n/sx| is
         # exact algebra (it commutes with the conv's I-contraction, unlike a
         # per-sample-per-channel scale) and also removes clipping for
-        # out-of-calibration samples (t_n > 127 → g_n < 1).
+        # out-of-calibration samples (t_n > 127 → g_n < 1).  The reduction
+        # runs over |xm| per (sample, channel) FIRST and meets the scales on
+        # the tiny (N, I) result — max commutes exactly with the positive
+        # per-channel divide (IEEE division is monotone), and reducing the
+        # raw tensor lets XLA fuse the pass with xm's producer instead of
+        # materializing the divided tensor twice.
         dyn = "act_dynamic" in quant
         if dyn:
-            t = jnp.maximum(
-                jnp.max(jnp.abs(xs), axis=(1, 2, 3), keepdims=True), 1e-30)
-            xs = xs * (127.0 / t)
+            m = jnp.max(jnp.abs(_f32p(xm)), axis=(1, 2))        # (N, I)
+            t = jnp.maximum(jnp.max(m / sx, axis=-1), 1e-30)    # (N,)
+            t = t[:, None, None, None]
+            xs = (_f32p(xm) / sx) * (127.0 / t)
+        else:
+            xs = _f32p(xm) / sx
         xq = jnp.clip(jnp.round(xs), -127, 127).astype(jnp.int8)
         if up == 1 and down == 1:
             deq = ws if per_channel else ws * sx
