@@ -75,13 +75,13 @@ def main():
     qvs = {
         "pt": quantize_stylegan2_variables(
             g, variables, jnp.asarray(z), None, jnp.asarray(h),
-            noise_mode="const", per_channel_act=False, act_dynamic=False),
+            noise_mode="const", per_channel_act=False),
         "pc": quantize_stylegan2_variables(
             g, variables, jnp.asarray(z), None, jnp.asarray(h),
-            noise_mode="const", act_dynamic=False),
+            noise_mode="const"),
         "dyn": quantize_stylegan2_variables(
             g, variables, jnp.asarray(z), None, jnp.asarray(h),
-            noise_mode="const"),
+            noise_mode="const", act_dynamic=True),
     }
     s_bf = make_sampler(g, variables, batch_size=BATCH, noise_mode="const")
     samplers = {k: make_sampler(g, v, batch_size=BATCH, noise_mode="const")
@@ -110,13 +110,14 @@ def main():
         out[f"{k}_img_drift_rel"] = drift
         print(f"sg2 int8[{k:3s}]:  {BATCH/t:7.1f} img/s ({t*1e3:.1f} ms) "
               f"= {t_bf/t:.2f}x   drift {drift:.3e}", flush=True)
-    # Headline fields = the default scheme (dyn).
-    s_q = samplers["dyn"]
-    t_q = out["dyn_ms"] / 1e3
+    # Headline fields = the default scheme (per-channel static; the dynamic
+    # knob's reduce-max pass costs ~13% e2e for 1% drift — measured above).
+    s_q = samplers["pc"]
+    t_q = out["pc_ms"] / 1e3
     out.update({
         "int8_img_s": BATCH / t_q, "int8_ms": t_q * 1e3,
         "speedup": t_bf / t_q,
-        "img_drift_rel": out["dyn_img_drift_rel"],
+        "img_drift_rel": out["pc_img_drift_rel"],
     })
 
     ev = InceptionEvaluator(deploy_bf16=True)

@@ -81,7 +81,7 @@ CONSUMED_KEYS = {
     # framework-native extras (keys read by the cli/ apps)
     "backbone", "pth_dir", "network_pkl", "suffix", "which_model",
     "deploy_bf16", "truncation_psi", "noise_mode", "standing_batch_size",
-    "quantize_serving", "quant_calibration_images",
+    "quantize_serving", "quant_calibration_images", "quantize_dynamic",
     "inception_weights", "data_path", "swap_target", "out_path",
     "eval_bf16", "fused_eval",
     "eval_metrics", "profile_dir", "eval_batch_size", "image_root",

@@ -151,7 +151,7 @@ def quantize_variables(g_module, variables, *calib_args,
 def quantize_stylegan2_variables(g_module, variables, *calib_args,
                                  resample_filter=(1, 3, 3, 1),
                                  per_channel_act: bool = True,
-                                 act_dynamic: bool = True,
+                                 act_dynamic: bool = False,
                                  **apply_kwargs):
     """int8 serving mode for the StyleGAN2 backbone.
 
@@ -168,15 +168,18 @@ def quantize_stylegan2_variables(g_module, variables, *calib_args,
         per-tensor absmax collapse most channels onto few int8 levels
         (measured 7.1% image drift per-tensor; ``per_channel_act=False``
         restores the old scheme),
-      - per-sample **dynamic** range adaptation (``act_dynamic``, default
-        on): serving computes one scalar per sample,
+      - per-sample **dynamic** range adaptation (``act_dynamic``, opt-in
+        quality knob): serving computes one scalar per sample,
         ``g_n = 127/max|x_n/a|``, boosts the pre-quant input by it and
         undoes it in the dequant epilogue.  The static absmax covers the
         hottest calibration sample; a per-sample scalar commutes with the
         conv's channel contraction (a per-sample-per-channel scale would
         not), so samples with smaller style magnitudes get the full int8
-        range and out-of-calibration samples never clip.  Cost: one fused
-        reduce-max over the already-materialized pre-quant tensor,
+        range and out-of-calibration samples never clip.  Measured at the
+        256² serving geometry: drift 4.97% → 3.96%, but the extra
+        reduce-max pass over every pre-quant tensor costs 1.88× → 1.63×
+        e2e (``benchmarks/results/quant_sg2.json``), so static per-channel
+        stays the default,
       - ``up=2`` layers quantize the four *composite polyphase* kernels
         (w ⊛ FIR, phase-split — ``ops/conv_resample._conv_up2_polyphase``),
         so FIR filtering rides the int8 MXU pass too and the transformed
