@@ -177,7 +177,7 @@ def quantize_stylegan2_variables(g_module, variables, *calib_args,
         not), so samples with smaller style magnitudes get the full int8
         range and out-of-calibration samples never clip.  Measured at the
         256² serving geometry: drift 4.97% → 3.96%, but the extra
-        reduce-max pass over every pre-quant tensor costs 1.88× → 1.63×
+        reduce-max pass over every pre-quant tensor costs 1.91× → 1.68×
         e2e (``benchmarks/results/quant_sg2.json``), so static per-channel
         stays the default,
       - ``up=2`` layers quantize the four *composite polyphase* kernels
