@@ -588,8 +588,13 @@ class SelfAttention(nn.Module):
         one activation scale, since they calibrate on the same input).
         """
         ch = self.features
+        # NB: the SN power-iteration state lives under the CHILD conv scopes
+        # (``sn/theta/u``), so the presence probe must name the child subtree
+        # — ``has_variable("sn", "u")`` at this scope is always False and
+        # would activate the fusion on unfolded variables, silently skipping
+        # the σ division (r5 regression caught by test_biggan_deep_parity).
         if (not _ATTN_FUSION[0] or self.is_initializing()
-                or self.has_variable("sn", "u")
+                or self.has_variable("sn", "theta")
                 or not self.has_variable("params", "theta")):
             return None
         get = lambda name: self.get_variable("params", name)["kernel"]
